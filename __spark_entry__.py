@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` registers one entry per implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline extensions);
+``oracle_sql()`` provides DuckDB-equivalent SQL for each.
+
+Geospatial inputs (the Common-Crawl-style pages table of
+BASELINE.json's input_hint, and OSM-style nodes/ways/relations) are
+generated deterministically with exact integer arithmetic that is
+bit-identical between Spark and DuckDB (osm_jl_spark/datagen.py), so
+each oracle regenerates the same input inline — no files exchanged.
+Text/dedup/similarity queries run on the driver-provided ``documents``
+and ``embeddings`` views.
 """
 
 from __future__ import annotations
@@ -12,27 +18,740 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_jl_spark import datagen as G
+from osm_jl_spark.functions.cells import bbox_cell_range
+from osm_jl_spark.session import sf_from_dir
+
+PRECISION = 2
+
+
+def _counts(sf_dir: str) -> dict[str, int]:
+    return G.counts_for_sf(sf_from_dir(sf_dir))
+
+
+def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# oracle-side fixed scale: the driver always runs oracles at sf=0.01
+_OC = G.counts_for_sf(0.01)
+
+
+def _edges_values(polys: dict[int, list[tuple[float, float]]]) -> str:
+    """DuckDB CTE: polygon edges with the closing edge first
+    (src/coords.jl:70 ordering — irrelevant for the crossing count but
+    kept for symmetry)."""
+    rows = []
+    for pid, ring in sorted(polys.items()):
+        n = len(ring)
+        for i in range(n):
+            a, b = ring[i - 1], ring[i]
+            rows.append(f"({pid}, {a[0]!r}, {a[1]!r}, {b[0]!r}, {b[1]!r})")
+    return (
+        "poly_edges(polygon_id, ax, ay, bx, by) AS (SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") v(polygon_id, ax, ay, bx, by))"
+    )
+
+
+# even-odd crossing count, strict inequalities (src/coords.jl:69-78);
+# CASE guards the division exactly like Julia's short-circuit &&
+_PIP_HAVING = """SUM(CASE WHEN (e.ay > {lat}) <> (e.by > {lat})
+         THEN CASE WHEN e.ax + ({lat} - e.ay) / (e.by - e.ay) * (e.bx - e.ax) < {lon}
+                   THEN 1 ELSE 0 END
+         ELSE 0 END) % 2 = 1"""
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.load_pages(spark, _counts(sf_dir)["docs"])
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest pipeline: pages -> extracted text -> geoparse."""
+    from osm_jl_spark.operators.pipeline import geoparse_points, pages_with_text
+
+    pages = pages_with_text(_pages(spark, sf_dir))
+    return geoparse_points(pages, text_col="extracted_text")
+
+
+def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.load_nodes(spark, _counts(sf_dir)["nodes"])
+
+
+def _ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _counts(sf_dir)
+    return G.load_ways(spark, c["ways"], c["nodes"])
+
+
+def _relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _counts(sf_dir)
+    return G.load_relations(spark, c["relations"], c["ways"], c["nodes"])
+
+
+def _docs2x(docs: DataFrame) -> DataFrame:
+    """documents unioned with an id-shifted copy -> guaranteed exact
+    duplicates for the dedup operators."""
+    return docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+
+
+_DOCS2X_SQL = """docs2x AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+)"""
+
+
+def _neardup_corpus(docs: DataFrame) -> DataFrame:
+    """Small corpus with synthetic near-duplicates (one token appended)
+    for the similarity-dedup operators."""
+    base = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    mod = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+    )
+    return base.unionByName(mod)
+
+
+_NEARDUP_SQL = """neardup AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, concat(text, ' extratoken') AS text
+  FROM documents WHERE doc_id < 150
+)"""
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geoparse the sf0.001 crawl, PIP-join against the
+    polygon dimension, tile the matches (SURVEY.md §7.1 M1)."""
+    from osm_jl_spark.operators.pipeline import flagship
+
+    pages = G.load_pages(spark, G.counts_for_sf(0.001)["docs"])
+    return flagship(pages, G.POLYGONS, PRECISION)
+
+
+# -------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osm_jl_spark.functions.cells import cell_coord, with_cell
+    from osm_jl_spark.functions.text import (
+        fingerprint_col,
+        lang_id_col,
+        stopword_ratio_col,
+        token_count_col,
+        uniq_token_ratio_col,
+    )
+    from osm_jl_spark.operators import dedup as D
+    from osm_jl_spark.operators import elements as E
+    from osm_jl_spark.operators import joins as J
+    from osm_jl_spark.operators import similarity as S
+    from osm_jl_spark.operators import tiling as TL
+    from osm_jl_spark.operators.knn import knn_join
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def geoparse_points_q(spark, sf_dir):
+        return _points(spark, sf_dir)
+
+    def cell_encode_q(spark, sf_dir):
+        pts = _points(spark, sf_dir)
+        return with_cell(pts, PRECISION).select("url", "pt_idx", "cx", "cy")
+
+    def pip_frogner_q(spark, sf_dir):
+        pts = _points(spark, sf_dir)
+        return J.nodes_in_polygons(pts, {1: G.FROGNER}, PRECISION).select(
+            "url", "pt_idx"
+        )
+
+    def pip_polygons_q(spark, sf_dir):
+        pts = _points(spark, sf_dir)
+        return J.nodes_in_polygons(pts, G.POLYGONS, PRECISION).select(
+            "url", "pt_idx", "polygon_id"
+        )
+
+    def tile_counts_q(spark, sf_dir):
+        return TL.tile_counts(_points(spark, sf_dir), PRECISION)
+
+    def tile_rollup_q(spark, sf_dir):
+        t = TL.tile_rollup(_points(spark, sf_dir), [0, 1, 2])
+        return t.select(
+            F.col("precision").alias("res"), "cx", "cy", "n_points"
+        )
+
+    def raster_vector_q(spark, sf_dir):
+        t = TL.tile_rollup(_points(spark, sf_dir), [1])
+        return TL.raster_to_vector(t, threshold=2).select(
+            F.col("precision").alias("res"), "cx", "cy",
+            "min_lon", "min_lat", "max_lon", "max_lat", "n_points",
+        )
+
+    def bbox_nodes_q(spark, sf_dir):
+        inside, _ = J.extract_bbox(
+            _nodes(spark, sf_dir), _ways(spark, sf_dir),
+            G.VITORIA_UL, G.VITORIA_LR, PRECISION,
+        )
+        return inside.select("id", "lon", "lat")
+
+    def bbox_ways_q(spark, sf_dir):
+        _, ways = J.extract_bbox(
+            _nodes(spark, sf_dir), _ways(spark, sf_dir),
+            G.VITORIA_UL, G.VITORIA_LR, PRECISION,
+        )
+        return ways.select("id")
+
+    def nodes_highways_q(spark, sf_dir):
+        n = _nodes(spark, sf_dir)
+        return n.filter(E.hastag(E.HIGHWAY)).select(
+            "id", E.gettag(E.HIGHWAY).alias("highway")
+        )
+
+    def ways_buildings_q(spark, sf_dir):
+        return E.buildings(_ways(spark, sf_dir)).select("id")
+
+    def highway_class_q(spark, sf_dir):
+        return E.highways_of_class(
+            _ways(spark, sf_dir), G.HIGHWAY_CLASSES[:3]
+        ).select("id", E.gettag(E.HIGHWAY).alias("highway"))
+
+    def search_name_q(spark, sf_dir):
+        w, n = E.search(_ways(spark, sf_dir), _nodes(spark, sf_dir), "name_0")
+        return w.select(F.lit("way").alias("kind"), "id").unionByName(
+            n.select(F.lit("node").alias("kind"), "id")
+        )
+
+    def search_address_q(spark, sf_dir):
+        w, n = E.search_address(
+            _ways(spark, sf_dir), _nodes(spark, sf_dir), "street_7", "107"
+        )
+        return w.select(F.lit("way").alias("kind"), "id").unionByName(
+            n.select(F.lit("node").alias("kind"), "id")
+        )
+
+    def is_closed_q(spark, sf_dir):
+        return _ways(spark, sf_dir).select(
+            "id", E.is_closed().alias("closed")
+        )
+
+    def waynodes_q(spark, sf_dir):
+        ways = _ways(spark, sf_dir).filter(F.col("id") <= 200)
+        return J.waynodes(ways, _nodes(spark, sf_dir))
+
+    def extract_semi_q(spark, sf_dir):
+        return J.nodes_for_ways(
+            _nodes(spark, sf_dir), E.buildings(_ways(spark, sf_dir))
+        ).select("id")
+
+    def ways_in_frogner_q(spark, sf_dir):
+        return J.ways_in_polygon(
+            _ways(spark, sf_dir), _nodes(spark, sf_dir), G.FROGNER, PRECISION
+        ).select("id")
+
+    def rel_members_q(spark, sf_dir):
+        return J.relation_members_exploded(_relations(spark, sf_dir))
+
+    def rel_with_node_members_q(spark, sf_dir):
+        nodes_small = _nodes(spark, sf_dir).filter(F.col("id") <= 100)
+        return J.ismember(
+            _relations(spark, sf_dir), nodes_small.select("id"), "node"
+        ).select("id")
+
+    def knn_q(spark, sf_dir):
+        nodes = _nodes(spark, sf_dir)
+        q = nodes.filter(F.col("id") <= 20).select(
+            F.col("id").alias("query_id"),
+            F.col("lon").alias("qlon"),
+            F.col("lat").alias("qlat"),
+        )
+        return knn_join(nodes, q, k=5, precision=PRECISION).select(
+            "query_id", "id", F.col("rank").alias("knn_rank")
+        )
+
+    # ------------------------- text / dedup / similarity (driver tables)
+
+    def dedup_exact_groups_q(spark, sf_dir):
+        docs = _docs2x(_pq(spark, sf_dir, "documents"))
+        return D.exact_duplicates(docs).select("fp", "n_docs", "keep_id")
+
+    def dedup_exact_keep_q(spark, sf_dir):
+        docs = _docs2x(_pq(spark, sf_dir, "documents"))
+        return D.exact_dedup(docs).select("doc_id")
+
+    def ngram_jaccard_q(spark, sf_dir):
+        corpus = _neardup_corpus(_pq(spark, sf_dir, "documents"))
+        return D.ngram_jaccard_pairs(corpus, threshold=0.5)
+
+    def minhash_pairs_q(spark, sf_dir):
+        corpus = _neardup_corpus(_pq(spark, sf_dir, "documents"))
+        return D.minhash_dedup_pairs(corpus, threshold=0.5)
+
+    def simhash_pairs_q(spark, sf_dir):
+        corpus = _neardup_corpus(_pq(spark, sf_dir, "documents"))
+        return D.simhash_near_dups(corpus, max_hamming=3)
+
+    def embedding_knn_q(spark, sf_dir):
+        emb = _pq(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        return S.cosine_topk(emb, q, k=5, rank_round=4).select(
+            "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
+        )
+
+    def embedding_near_dups_q(spark, sf_dir):
+        emb = _pq(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        return D.embedding_near_dups(emb, threshold=0.8).select(
+            "id_a", "id_b"
+        )
+
+    def ivf_knn_q(spark, sf_dir):
+        emb = _pq(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        assigned, cents = S.build_ivf(emb, n_centroids=8)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        return S.ivf_topk(assigned, cents, q, k=5, nprobe=3).select(
+            "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
+        )
+
+    def text_quality_q(spark, sf_dir):
+        docs = _pq(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            token_count_col("text").alias("n_tokens"),
+            uniq_token_ratio_col("text").alias("uniq_ratio"),
+            stopword_ratio_col("text").alias("stop_ratio"),
+        )
+
+    def token_count_by_lang_q(spark, sf_dir):
+        docs = _pq(spark, sf_dir, "documents")
+        return (
+            docs.select("lang", token_count_col("text").alias("nt"))
+            .groupBy("lang")
+            .agg(
+                F.sum("nt").alias("total_tokens"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+        )
+
+    def lang_id_q(spark, sf_dir):
+        docs = _pq(spark, sf_dir, "documents")
+        return (
+            docs.select("lang", lang_id_col("text").alias("pred_lang"))
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def fingerprint_q(spark, sf_dir):
+        docs = _pq(spark, sf_dir, "documents")
+        return docs.groupBy("source").agg(
+            F.countDistinct(fingerprint_col("text")).alias("n_fp")
+        )
+
+    # ----------------------------------------- classic OLAP (TPC-H-ish)
+
+    def tpch_q1_q(spark, sf_dir):
+        li = _pq(spark, sf_dir, "lineitem")
+        cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(cents("l_extendedprice")).alias("sum_price_c"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    def orders_by_segment_q(spark, sf_dir):
+        o = _pq(spark, sf_dir, "orders")
+        c = _pq(spark, sf_dir, "customer")
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "revenue_c"
+                ),
+            )
+        )
+
+    def events_top3_q(spark, sf_dir):
+        from pyspark.sql import Window
+
+        ev = _pq(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("value").desc(), F.col("event_id").asc()
+        )
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("user_id", "event_id", "rn")
+        )
+
+    # --------------------------------------------- rows-only (no oracle)
+
+    def geojson_q(spark, sf_dir):
+        from osm_jl_spark.sources.geojson import way_features
+
+        ways = _ways(spark, sf_dir).filter(F.col("id") <= 50)
+        return way_features(ways, _nodes(spark, sf_dir))
+
+    def multimodal_q(spark, sf_dir):
+        from osm_jl_spark.operators.multimodal import (
+            decode_and_featurize,
+            synthetic_media,
+        )
+
+        feats = decode_and_featurize(synthetic_media(spark, 64))
+        return feats.select(
+            "media_id", "kind", "out_width", "out_height",
+            F.round(
+                F.aggregate("feat", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("feat_sum"),
+        )
+
+    def osm_xml_q(spark, sf_dir):
+        from osm_jl_spark.sources.osm_xml import SAMPLE_OSM_XML, parse_elements
+
+        df = spark.createDataFrame([(SAMPLE_OSM_XML,)], "xml STRING")
+        return parse_elements(df).select("kind", "id", "lon", "lat")
+
+    return {
+        "geoparse_points": geoparse_points_q,
+        "cell_encode": cell_encode_q,
+        "pip_frogner": pip_frogner_q,
+        "pip_polygons": pip_polygons_q,
+        "tile_counts": tile_counts_q,
+        "tile_rollup": tile_rollup_q,
+        "raster_vector": raster_vector_q,
+        "bbox_vitoria_nodes": bbox_nodes_q,
+        "bbox_vitoria_ways": bbox_ways_q,
+        "nodes_highways": nodes_highways_q,
+        "ways_buildings": ways_buildings_q,
+        "highway_class_filter": highway_class_q,
+        "search_name": search_name_q,
+        "search_address": search_address_q,
+        "is_closed_ways": is_closed_q,
+        "waynodes_join": waynodes_q,
+        "extract_semi_nodes": extract_semi_q,
+        "ways_in_frogner": ways_in_frogner_q,
+        "relation_members": rel_members_q,
+        "relations_with_node_members": rel_with_node_members_q,
+        "knn_ring": knn_q,
+        "dedup_exact_groups": dedup_exact_groups_q,
+        "dedup_exact_keep": dedup_exact_keep_q,
+        "ngram_jaccard_pairs": ngram_jaccard_q,
+        "minhash_pairs": minhash_pairs_q,
+        "simhash_pairs": simhash_pairs_q,
+        "embedding_knn": embedding_knn_q,
+        "embedding_near_dups": embedding_near_dups_q,
+        "ivf_knn": ivf_knn_q,
+        "text_quality": text_quality_q,
+        "token_count_by_lang": token_count_by_lang_q,
+        "lang_id": lang_id_q,
+        "doc_fingerprints": fingerprint_q,
+        "tpch_q1": tpch_q1_q,
+        "orders_by_segment": orders_by_segment_q,
+        "events_top3": events_top3_q,
+        "geojson_features": geojson_q,
+        "multimodal_features": multimodal_q,
+        "osm_xml_parse": osm_xml_q,
+    }
+
+
+# ------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    c = _OC
+    pages = G.pages_ctes("duckdb", c["docs"])
+    nodes = G.nodes_ctes("duckdb", c["nodes"])
+    ways = G.ways_ctes("duckdb", c["ways"], c["nodes"])
+    rels = G.relations_ctes("duckdb", c["relations"], c["ways"], c["nodes"])
+    frogner_edges = _edges_values({1: G.FROGNER})
+    all_edges = _edges_values(G.POLYGONS)
+    pip = _PIP_HAVING.format(lat="p.lat", lon="p.lon")
+    pip_n = _PIP_HAVING.format(lat="n.lat", lon="n.lon")
+    xlo, xhi, ylo, yhi = bbox_cell_range(G.VITORIA_UL, G.VITORIA_LR, PRECISION)
+
+    out: dict[str, str] = {}
+
+    out["geoparse_points"] = (
+        f"WITH {pages} SELECT url, pt_idx, lon, lat FROM pages_pts"
+    )
+
+    out["cell_encode"] = f"""WITH {pages}
+SELECT url, pt_idx,
+       CAST(trunc(lon * 100) AS BIGINT) AS cx,
+       CAST(trunc(lat * 100) AS BIGINT) AS cy
+FROM pages_pts"""
+
+    out["pip_frogner"] = f"""WITH {pages}, {frogner_edges}
+SELECT p.url, p.pt_idx
+FROM pages_pts p, poly_edges e
+GROUP BY p.url, p.pt_idx, p.lon, p.lat
+HAVING {pip}"""
+
+    out["pip_polygons"] = f"""WITH {pages}, {all_edges}
+SELECT p.url, p.pt_idx, e.polygon_id
+FROM pages_pts p, poly_edges e
+GROUP BY p.url, p.pt_idx, e.polygon_id, p.lon, p.lat
+HAVING {pip}"""
+
+    out["tile_counts"] = f"""WITH {pages}
+SELECT CAST(trunc(lon * 100) AS BIGINT) AS cx,
+       CAST(trunc(lat * 100) AS BIGINT) AS cy,
+       count(*) AS n_points
+FROM pages_pts GROUP BY 1, 2"""
+
+    out["tile_rollup"] = f"""WITH {pages}
+SELECT 2 AS res, CAST(trunc(lon * 100) AS BIGINT) AS cx,
+       CAST(trunc(lat * 100) AS BIGINT) AS cy, count(*) AS n_points
+FROM pages_pts GROUP BY 1, 2, 3
+UNION ALL
+SELECT 1, CAST(trunc(lon * 10) AS BIGINT), CAST(trunc(lat * 10) AS BIGINT), count(*)
+FROM pages_pts GROUP BY 1, 2, 3
+UNION ALL
+SELECT 0, CAST(trunc(lon * 1) AS BIGINT), CAST(trunc(lat * 1) AS BIGINT), count(*)
+FROM pages_pts GROUP BY 1, 2, 3"""
+
+    out["raster_vector"] = f"""WITH {pages},
+t AS (
+  SELECT 1 AS res, CAST(trunc(lon * 10) AS BIGINT) AS cx,
+         CAST(trunc(lat * 10) AS BIGINT) AS cy, count(*) AS n_points
+  FROM pages_pts GROUP BY 1, 2, 3
+)
+SELECT res, cx, cy,
+       (CASE WHEN cx >= 0 THEN cx ELSE cx - 1 END) * (1.0 / power(10.0, res)) AS min_lon,
+       (CASE WHEN cy >= 0 THEN cy ELSE cy - 1 END) * (1.0 / power(10.0, res)) AS min_lat,
+       (CASE WHEN cx >= 0 THEN cx + 1 ELSE cx END) * (1.0 / power(10.0, res)) AS max_lon,
+       (CASE WHEN cy >= 0 THEN cy + 1 ELSE cy END) * (1.0 / power(10.0, res)) AS max_lat,
+       n_points
+FROM t WHERE n_points >= 2"""
+
+    out["bbox_vitoria_nodes"] = f"""WITH {nodes}
+SELECT id, lon, lat FROM nodes
+WHERE CAST(trunc(lon * 100) AS BIGINT) BETWEEN {xlo} AND {xhi}
+  AND CAST(trunc(lat * 100) AS BIGINT) BETWEEN {ylo} AND {yhi}"""
+
+    out["bbox_vitoria_ways"] = f"""WITH {nodes}, {ways}
+SELECT DISTINCT wr.id FROM ways_refs wr
+JOIN nodes n ON wr.ref = n.id
+WHERE CAST(trunc(n.lon * 100) AS BIGINT) BETWEEN {xlo} AND {xhi}
+  AND CAST(trunc(n.lat * 100) AS BIGINT) BETWEEN {ylo} AND {yhi}"""
+
+    out["nodes_highways"] = (
+        f"WITH {nodes} SELECT id, t_highway AS highway FROM nodes "
+        "WHERE t_highway IS NOT NULL"
+    )
+
+    out["ways_buildings"] = (
+        f"WITH {ways} SELECT id FROM ways WHERE t_building IS NOT NULL"
+    )
+
+    cls3 = ", ".join(f"'{x}'" for x in G.HIGHWAY_CLASSES[:3])
+    out["highway_class_filter"] = (
+        f"WITH {ways} SELECT id, t_highway AS highway FROM ways "
+        f"WHERE t_highway IN ({cls3})"
+    )
+
+    out["search_name"] = f"""WITH {nodes}, {ways}
+SELECT 'way' AS kind, id FROM ways WHERE t_name = 'name_0'
+UNION ALL
+SELECT 'node' AS kind, id FROM nodes WHERE t_name = 'name_0'"""
+
+    out["search_address"] = f"""WITH {nodes}, {ways}
+SELECT 'way' AS kind, id FROM ways
+WHERE t_addr_street = 'street_7' AND t_addr_housenumber = '107'
+UNION ALL
+SELECT 'node' AS kind, id FROM nodes
+WHERE t_addr_street = 'street_7' AND t_addr_housenumber = '107'"""
+
+    out["is_closed_ways"] = f"""WITH {ways}
+SELECT w.id, (f.ref = l.ref) AS closed
+FROM ways w
+JOIN ways_refs f ON f.id = w.id AND f.pos = 1
+JOIN ways_refs l ON l.id = w.id AND l.pos = w.nw"""
+
+    out["waynodes_join"] = f"""WITH {nodes}, {ways}
+SELECT wr.id AS way_id, wr.pos, n.id AS node_id, n.lon, n.lat
+FROM ways_refs wr JOIN nodes n ON wr.ref = n.id
+WHERE wr.id <= 200"""
+
+    out["extract_semi_nodes"] = f"""WITH {nodes}, {ways}
+SELECT DISTINCT n.id
+FROM nodes n
+JOIN ways_refs wr ON n.id = wr.ref
+JOIN ways w ON wr.id = w.id
+WHERE w.t_building IS NOT NULL"""
+
+    out["ways_in_frogner"] = f"""WITH {nodes}, {ways}, {frogner_edges},
+inside AS (
+  SELECT n.id FROM nodes n, poly_edges e
+  GROUP BY n.id, n.lon, n.lat
+  HAVING {pip_n}
+)
+SELECT DISTINCT wr.id FROM ways_refs wr
+JOIN inside i ON wr.ref = i.id"""
+
+    out["relation_members"] = f"""WITH {rels}
+SELECT id AS relation_id, pos, ref, mtype AS type, role FROM rel_members"""
+
+    out["relations_with_node_members"] = f"""WITH {rels}
+SELECT DISTINCT id FROM rel_members WHERE mtype = 'node' AND ref <= 100"""
+
+    out["knn_ring"] = f"""WITH {nodes},
+q AS (SELECT id AS query_id, lon AS qlon, lat AS qlat FROM nodes WHERE id <= 20),
+d AS (
+  SELECT q.query_id, n.id,
+         (n.lon - q.qlon) * (n.lon - q.qlon) + (n.lat - q.qlat) * (n.lat - q.qlat) AS d2
+  FROM q, nodes n
+),
+r AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, id) AS knn_rank
+  FROM d
+)
+SELECT query_id, id, knn_rank FROM r WHERE knn_rank <= 5"""
+
+    # -------------------------- text / dedup (driver documents view)
+
+    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    out["dedup_exact_groups"] = f"""WITH {_DOCS2X_SQL}
+SELECT md5({norm}) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM docs2x GROUP BY 1 HAVING count(*) >= 2"""
+
+    out["dedup_exact_keep"] = f"""WITH {_DOCS2X_SQL},
+k AS (SELECT md5({norm}) AS fp, min(doc_id) AS doc_id FROM docs2x GROUP BY 1)
+SELECT doc_id FROM k"""
+
+    shingle_ctes = f"""{_NEARDUP_SQL},
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM neardup
+),
+pos AS (SELECT range + 1 AS j FROM range(200)),
+sh AS (
+  SELECT DISTINCT t.doc_id, array_to_string(list_slice(t.tk, p.j, p.j + 2), ' ') AS s
+  FROM toks t, pos p WHERE p.j <= len(t.tk) - 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)"""
+    out["ngram_jaccard_pairs"] = f"""WITH {shingle_ctes}
+SELECT i.id_a, i.id_b,
+       i.i / (sa.sz + sb.sz - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5"""
+
+    out["embedding_knn"] = """WITH
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.v, q.qv) AS cosine
+  FROM e, q
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(cosine, 4) DESC, neighbor_id
+         ) AS knn_rank
+  FROM s
+)
+SELECT query_id, neighbor_id, knn_rank FROM r WHERE knn_rank <= 5"""
+
+    from osm_jl_spark.functions.text import LANG_LEXICON, STOPWORDS
+
+    stop_list = "['" + "','".join(STOPWORDS) + "']"
+    out["text_quality"] = f"""WITH
+t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       CASE WHEN len(tk) > 0
+            THEN len(list_distinct(tk)) / len(tk) ELSE 0.0 END AS uniq_ratio,
+       CASE WHEN len(tk) > 0
+            THEN len(list_filter(tk, x -> list_contains({stop_list}, x))) / len(tk)
+            ELSE 0.0 END AS stop_ratio
+FROM t"""
+
+    out["token_count_by_lang"] = """WITH
+t AS (
+  SELECT lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+  FROM documents
+)
+SELECT lang, sum(nt) AS total_tokens, count(*) AS n_docs FROM t GROUP BY lang"""
+
+    langs = sorted(LANG_LEXICON)
+    score_cols = ",\n       ".join(
+        "len(list_filter(tk, x -> list_contains(['"
+        + "','".join(LANG_LEXICON[lg])
+        + f"'], x))) AS s_{lg}"
+        for lg in langs
+    )
+    mx = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pick = " ".join(f"WHEN s_{lg} = mx THEN '{lg}'" for lg in langs)
+    out["lang_id"] = f"""WITH
+t AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+s AS (
+  SELECT lang,
+       {score_cols}
+  FROM t
+),
+p AS (
+  SELECT lang, {mx} AS mx, * FROM s
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN mx = 0 THEN 'und' ELSE CASE {pick} END END AS pred_lang
+  FROM p
+)
+SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2"""
+
+    out["doc_fingerprints"] = f"""SELECT source,
+       count(DISTINCT md5({norm})) AS n_fp
+FROM documents GROUP BY source"""
+
+    out["tpch_q1"] = """SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+    out["orders_by_segment"] = """SELECT c_mktsegment,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+    out["events_top3"] = """WITH r AS (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_id, rn FROM r WHERE rn <= 3"""
+
+    return out

@@ -1,0 +1,106 @@
+"""Grid-cell encoding — the engine's H3/S2-style multi-resolution index.
+
+Semantics pinned to the reference: a cell at precision p is
+``(trunc(lon*10^p), trunc(lat*10^p))`` with truncation TOWARD ZERO
+(/root/reference/src/index.jl:17). Spark's ``CAST(double AS LONG)``
+truncates toward zero, so the encode stays entirely JVM-side (no UDF)
+and survives whole-stage codegen.
+
+Hierarchy: precision p-1 is the parent of p the same way an H3/S2
+res-(r-1) cell contains its res-r children — EXCEPT around zero, where
+truncation makes cells (-1..1)*10 all truncate to parent 0. We therefore
+derive parents by re-encoding from the raw coordinate (cheap column op),
+never by integer-dividing the child id; this keeps multi-resolution
+rollups exactly consistent with single-shot encodes at each precision.
+
+At the 10^12-document design point the cell columns are the partition
+story: write tables clustered by ``(precision-2 cell)`` prefix so bbox
+queries (src/OSM.jl:246-257) become partition-pruned scans, and the
+tiling groupBy shuffles on a key whose cardinality (~6.5M cells at p=2
+worldwide, far fewer occupied) comfortably exceeds executor count while
+dense urban cells get salted (operators/tiling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cell_coord(c: Column | str, precision: int) -> Column:
+    """trunc-toward-zero of coord * 10^precision (src/index.jl:17)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (col * F.lit(float(10**precision))).cast("long")
+
+
+def with_cell(df, precision: int, lon: str = "lon", lat: str = "lat",
+              cx: str = "cx", cy: str = "cy"):
+    """Add integer cell columns (cx, cy) at the given precision."""
+    return df.withColumn(cx, cell_coord(lon, precision)).withColumn(
+        cy, cell_coord(lat, precision)
+    )
+
+
+def cell_key(cx: Column | str, cy: Column | str) -> Column:
+    """Pack (cx, cy) into one sortable BIGINT for clustering/bucketing.
+
+    cx in [-18e6, 18e6] at p<=5; shift into non-negative and pack so the
+    key orders by (cx, cy) — good for range pruning along lon.
+    """
+    cxc = F.col(cx) if isinstance(cx, str) else cx
+    cyc = F.col(cy) if isinstance(cy, str) else cy
+    return (cxc + F.lit(18_000_000)) * F.lit(40_000_000) + (cyc + F.lit(9_000_000))
+
+
+def bbox_cell_range(ul: tuple[float, float], lr: tuple[float, float],
+                    precision: int) -> tuple[int, int, int, int]:
+    """Corner cells for a bbox query, UL/LR given as (lon, lat) like the
+    reference's extract(D, UL, LR) (src/OSM.jl:246-257, test.jl:3).
+
+    Returns (cx_lo, cx_hi, cy_lo, cy_hi) — inclusive cell bounds. The
+    reference slices its index matrix between the two corner cells
+    (src/index.jl:74-87); with trunc encoding that means every cell
+    between min and max corner cell inclusive.
+    """
+    import math
+
+    x1 = math.trunc(ul[0] * 10**precision)
+    x2 = math.trunc(lr[0] * 10**precision)
+    y1 = math.trunc(ul[1] * 10**precision)
+    y2 = math.trunc(lr[1] * 10**precision)
+    return min(x1, x2), max(x1, x2), min(y1, y2), max(y1, y2)
+
+
+def bbox_filter(df, ul, lr, precision: int, cx: str = "cx", cy: str = "cy"):
+    """Cell-range predicate: BETWEEN on both cell axes.
+
+    On a cell-clustered table this is pure partition pruning + min/max
+    data skipping — no shuffle, no UDF (SURVEY.md §4 row 1).
+    """
+    xlo, xhi, ylo, yhi = bbox_cell_range(ul, lr, precision)
+    return df.filter(
+        F.col(cx).between(xlo, xhi) & F.col(cy).between(ylo, yhi)
+    )
+
+
+def ring_cells(cx: int, cy: int, r: int) -> list[tuple[int, int]]:
+    """Cells at Chebyshev distance exactly r from (cx, cy) — the
+    expansion ring for kNN (SURVEY.md §2.3 last row). r=0 -> [(cx,cy)].
+    """
+    if r == 0:
+        return [(cx, cy)]
+    out = []
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            if max(abs(dx), abs(dy)) == r:
+                out.append((cx + dx, cy + dy))
+    return out
+
+
+def disk_cells(cx: int, cy: int, r: int) -> list[tuple[int, int]]:
+    """All cells with Chebyshev distance <= r (the kNN candidate disk)."""
+    return [
+        (cx + dx, cy + dy)
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+    ]

@@ -1,0 +1,199 @@
+"""Geometry kernels: exact point-in-polygon (vectorized), polygon cell
+covers, and coordinate transforms.
+
+PIP reproduces the reference's even-odd ray casting bit-for-bit
+(/root/reference/src/coords.jl:69-78): closing edge first, strict
+``>`` / ``<`` comparisons, open ring. It runs as an Arrow-batched
+pandas UDF over NumPy (no per-row Python), with the polygon set packed
+into flat NumPy arrays captured in the UDF closure — Spark ships the
+closure once per executor, which is the broadcast.
+
+The scale story (SURVEY.md §4 custom work #1): computing exact PIP for
+every (point, polygon) pair is O(N·P·V) and unusable at 10^12 docs.
+``cell_cover`` classifies each grid cell of a polygon's bbox as FULL
+(entirely inside) or BOUNDARY (edge passes through); the spatial join
+then broadcast-joins points to cover cells on (cx, cy) — a native
+hash join Catalyst handles — accepts FULL matches outright, and runs
+the exact UDF only on BOUNDARY candidates, typically <5% of matches.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osm_jl_spark.oracle import point_in_polygon
+
+Ring = list[tuple[float, float]]
+
+
+def _ring_arrays(ring: Ring) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Edge arrays (ax, ay, bx, by) with the closing edge first,
+    matching ``zip([P[end]; P[1:end-1]], P)`` (src/coords.jl:70)."""
+    b = np.asarray(ring, dtype=np.float64)
+    a = np.roll(b, 1, axis=0)
+    return a[:, 0], a[:, 1], b[:, 0], b[:, 1]
+
+
+def pip_mask(lon: np.ndarray, lat: np.ndarray, ring: Ring) -> np.ndarray:
+    """Vectorized even-odd test: bool mask over points (src/coords.jl:69-78)."""
+    ax, ay, bx, by = _ring_arrays(ring)
+    lon = np.asarray(lon, dtype=np.float64)[:, None]  # (N,1)
+    lat = np.asarray(lat, dtype=np.float64)[:, None]
+    crosses = (ay[None, :] > lat) != (by[None, :] > lat)  # (N,V)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = ax[None, :] + (lat - ay[None, :]) / (by[None, :] - ay[None, :]) * (
+            bx[None, :] - ax[None, :]
+        )
+        hit = crosses & (x < lon)
+    # odd number of crossings -> inside (XOR accumulation)
+    return (hit.sum(axis=1) % 2).astype(bool)
+
+
+def pip_contains_udf(polygons: dict[int, Ring]):
+    """pandas UDF: (lon, lat) -> array<long> of polygon ids containing
+    the point. The polygon dict rides in the closure (broadcast once
+    per executor); explode the result to get join rows."""
+    items = [(pid, ring) for pid, ring in sorted(polygons.items())]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        n = len(lo)
+        hits: list[list[int]] = [[] for _ in range(n)]
+        for pid, ring in items:
+            m = pip_mask(lo, la, ring)
+            for i in np.nonzero(m)[0]:
+                hits[i].append(pid)
+        return pd.Series(hits)
+
+    return _pip
+
+
+def pip_test_udf(polygons: dict[int, Ring]):
+    """pandas UDF: (lon, lat, polygon_id) -> bool. Used on BOUNDARY-cell
+    candidates after the cover join, grouped per polygon inside the
+    batch for vectorization."""
+    polys = dict(polygons)
+
+    @F.pandas_udf(T.BooleanType())
+    def _pip(lon: pd.Series, lat: pd.Series, pid: pd.Series) -> pd.Series:
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        ids = pid.to_numpy()
+        out = np.zeros(len(lo), dtype=bool)
+        for p in np.unique(ids):
+            ring = polys.get(int(p))
+            if ring is None:
+                continue
+            sel = ids == p
+            out[sel] = pip_mask(lo[sel], la[sel], ring)
+        return pd.Series(out)
+
+    return _pip
+
+
+# ------------------------------------------------------------ cell cover
+
+
+def cell_cover(
+    ring: Ring, precision: int, max_cells: int = 250_000
+) -> tuple[set[tuple[int, int]], set[tuple[int, int]]]:
+    """Classify the polygon's bbox cells: (full_cells, boundary_cells).
+
+    BOUNDARY = any cell whose area an edge's bbox touches (conservative
+    superset of edge-crossed cells). FULL = untouched bbox cell whose
+    center is inside (even-odd is constant across an edge-free cell, so
+    the center decides the whole cell). If the bbox exceeds
+    ``max_cells`` the cover degrades to "everything is boundary" over
+    the bbox — correct, just less pruned (exact PIP filters the rest).
+    """
+    step = 10**-precision
+    xs = [v[0] for v in ring]
+    ys = [v[1] for v in ring]
+    xlo = math.trunc(min(xs) / step)
+    xhi = math.trunc(max(xs) / step)
+    ylo = math.trunc(min(ys) / step)
+    yhi = math.trunc(max(ys) / step)
+    nx, ny = xhi - xlo + 1, yhi - ylo + 1
+    if nx * ny > max_cells:
+        return set(), {
+            (cx, cy)
+            for cx in range(xlo, xhi + 1)
+            for cy in range(ylo, yhi + 1)
+        }
+
+    boundary: set[tuple[int, int]] = set()
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i - 1], ring[i]
+        exlo = math.trunc(min(a[0], b[0]) / step)
+        exhi = math.trunc(max(a[0], b[0]) / step)
+        eylo = math.trunc(min(a[1], b[1]) / step)
+        eyhi = math.trunc(max(a[1], b[1]) / step)
+        # negative coords: trunc of the continuous span can start one
+        # cell late; widen by one on the low side for safety
+        for cx in range(exlo - 1, exhi + 1):
+            for cy in range(eylo - 1, eyhi + 1):
+                boundary.add((cx, cy))
+
+    full: set[tuple[int, int]] = set()
+    for cx in range(xlo, xhi + 1):
+        for cy in range(ylo, yhi + 1):
+            if (cx, cy) in boundary:
+                continue
+            center = ((cx + 0.5) * step, (cy + 0.5) * step)
+            # trunc cells straddle zero; center formula only valid for
+            # cx>=0 — for negative cells the cell spans ((cx-?)…); use
+            # midpoint of the actual trunc-preimage interval
+            if cx < 0:
+                center = ((cx - 0.5) * step, center[1])
+            if cy < 0:
+                center = (center[0], (cy - 0.5) * step)
+            if point_in_polygon(center[0], center[1], ring):
+                full.add((cx, cy))
+    return full, boundary & {
+        (cx, cy) for cx in range(xlo, xhi + 1) for cy in range(ylo, yhi + 1)
+    }
+
+
+# ----------------------------------------------------- coordinate math
+
+
+def with_ecef(df, lon: str = "lon", lat: str = "lat", h=None):
+    """Geodetic -> ECEF as native column math (WGS84).
+
+    The reference's ECEF (src/coords.jl:26-46) squares an ``e`` that is
+    already the first eccentricity squared (``e = 1 - Rp^2/Re^2``,
+    src/coords.jl:32), i.e. it uses e^4 — a known deviation from WGS84
+    (SURVEY.md §2.8 C3). We implement standard WGS84 (e2 used once);
+    nothing downstream in the reference consumes ECEF, so no fixture
+    depends on the buggy constant.
+    """
+    re_ = 6378137.0
+    rp = 6356752.3
+    e2 = 1.0 - (rp * rp) / (re_ * re_)
+    phi = F.radians(F.col(lat))
+    lam = F.radians(F.col(lon))
+    hh = F.lit(0.0) if h is None else F.col(h)
+    n = F.lit(re_) / F.sqrt(F.lit(1.0) - F.lit(e2) * F.sin(phi) * F.sin(phi))
+    return (
+        df.withColumn("ecef_x", (n + hh) * F.cos(phi) * F.cos(lam))
+        .withColumn("ecef_y", (n + hh) * F.cos(phi) * F.sin(lam))
+        .withColumn("ecef_z", ((F.lit(1.0 - e2)) * n + hh) * F.sin(phi))
+    )
+
+
+def haversine_m(lon1, lat1, lon2, lat2):
+    """Great-circle distance in meters, native column math."""
+    r = 6371008.8
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2) - F.radians(lat1)
+    dl = F.radians(lon2) - F.radians(lon1)
+    a = F.sin(dp / 2) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) ** 2
+    return F.lit(2.0 * r) * F.asin(F.sqrt(a))

@@ -1,0 +1,159 @@
+"""Text kernels: HTML text extraction, geoparsing, tokenization,
+language-ID, quality scoring, fingerprints.
+
+Only the two regex-heavy kernels (extract_text, geoparse) are pandas
+UDFs — everything else is native ``pyspark.sql.functions`` column math
+so it stays inside whole-stage codegen. The pandas UDFs are Arrow
+batched (Series in / Series out), never per-row Python
+(BASELINE.json input_hint).
+
+extract_text mirrors oracle.extract_text byte-for-byte — the per-url
+byte-identical invariant is pinned by tests/test_text.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osm_jl_spark.oracle import GEO_RE, extract_text
+
+# --------------------------------------------------------- pandas UDFs
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """HTML binary -> extracted text; byte-identical to oracle.extract_text."""
+    return html.map(lambda b: extract_text(bytes(b)) if b is not None else None)
+
+
+_POINT_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("pt_idx", T.IntegerType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_POINT_SCHEMA)
+def geoparse_udf(text: pd.Series) -> pd.Series:
+    """Extract ordered (lon, lat) coordinate mentions from text.
+
+    Pattern: ``lat <D.DDDDD> lon <D.DDDDD>``. Returns an array of
+    structs (pt_idx, lon, lat) preserving order of appearance — the
+    geoparsed points play the role of OSM Nodes (SURVEY.md §1.3).
+    """
+
+    def parse(t):
+        if t is None:
+            return []
+        return [
+            (i, float(lon), float(lat))
+            for i, (lat, lon) in enumerate(GEO_RE.findall(t))
+        ]
+
+    return text.map(parse)
+
+
+# ------------------------------------------------- native text analysis
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "as", "with", "at", "by", "from", "that", "this",
+]
+
+# tiny per-language lexicons for the n-gram/stopword language heuristic
+LANG_LEXICON = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "pt": ["o", "a", "de", "que", "e", "do"],
+    "no": ["og", "i", "det", "som", "en", "av"],
+}
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization as a native split (empty-safe)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count_col(text: Column | str) -> Column:
+    """Sub-word-ish token count: split on word/number/punct boundaries
+    (a BPE-flavored regex approximation, all JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.filter(
+        F.split(c, r"(?<=[a-z0-9])(?=[^a-z0-9\s])|(?<=[^a-z0-9\s])(?=[a-z0-9])|\s+"),
+        lambda t: t != F.lit(""),
+    )
+    return F.size(pieces)
+
+
+def stopword_ratio_col(text: Column | str) -> Column:
+    toks = tokens_col(text)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def uniq_token_ratio_col(text: Column | str) -> Column:
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def lang_score_col(text: Column | str, lang: str) -> Column:
+    """Stopword-hit count for one language's lexicon."""
+    toks = tokens_col(text)
+    lex = F.array(*[F.lit(s) for s in LANG_LEXICON[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Argmax language by lexicon hits; ties resolved by language code
+    order (deterministic). Unscored (all-zero) -> 'und'."""
+    # array_max on structs compares fields lexicographically: (score,
+    # rank) — rank = -index so ties pick the smallest language code
+    ranked = F.array(
+        *[
+            F.struct(
+                lang_score_col(text, lg).alias("score"),
+                F.lit(-i).alias("rank"),
+                F.lit(lg).alias("lang"),
+            )
+            for i, lg in enumerate(sorted(LANG_LEXICON))
+        ]
+    )
+    top = F.array_max(ranked)
+    return F.when(top["score"] > 0, top["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint_col(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased
+    text (md5 so DuckDB oracles reproduce it exactly)."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.md5(norm)
+
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (space-joined), distinct."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    )

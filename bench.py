@@ -64,9 +64,12 @@ def scaling_run(cores: int) -> None:
     from osm_jl_spark.session import get_spark
 
     spark = get_spark(app=f"bench-scale-{cores}", cores=cores,
-                      shuffle_partitions=max(8, cores))
-    # warmup: JIT + codegen on a tiny slice
-    df, _ = _flagship(spark, "/root/testdata/sf0.001")
+                      shuffle_partitions=max(8, cores),
+                      driver_memory="48g")
+    # warmup at the SAME scale: spawns all Python workers, JITs the
+    # codegen, touches every operator — so the timed run measures the
+    # pipeline, not process startup
+    df, _ = _flagship(spark, SF_DIR)
     df.count()
     t0 = time.time()
     df, n_docs = _flagship(spark, SF_DIR)
@@ -81,7 +84,8 @@ def main() -> None:
     from osm_jl_spark.session import get_spark, sf_from_dir
 
     sf = sf_from_dir(SF_DIR)
-    spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=CPUS,
+                      driver_memory="48g")
 
     # warmup
     _force(entry.queries()["tpch_q1"](spark, SF_DIR))

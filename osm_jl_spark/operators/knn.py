@@ -6,34 +6,25 @@ for each query point, the k nearest data points by squared planar
 degree distance, ties broken by (distance, id) — deterministic.
 
 Algorithm (driver-coordinated, data-parallel):
-  1. Encode query points to cells. Start with radius r covering ring 0.
-  2. Candidate join: query cells expanded to their Chebyshev disk of
-     radius r (explode a generated neighbor array — native, no UDF)
-     joined against the points table on (cx, cy). The points side is
-     the big side and arrives hash-partitioned by cell; the exploded
-     query side is small and broadcasts.
-  3. Per query, count candidates with PROVEN distance bound: a point in
-     a cell at Chebyshev ring <= r-1 of the query cell is at most
-     r*cell_step away in each axis... the sound stop rule: after
-     taking top-k among candidates within disk r, the k-th candidate
-     distance d_k must satisfy d_k <= (r * step)^2 (the minimum
-     possible distance to any cell OUTSIDE disk r is (r-1)*step>... we
-     use the conservative bound: min distance to outside-disk points is
-     (r)*step - wait, see below) — otherwise expand r and retry only
-     the unfinished queries.
 
-  Sound bound: if the query point sits anywhere in its cell, any point
-  outside the Chebyshev disk of radius r lies at planar distance
-  >= (r-1) * step in some axis (worst case: query at the far edge of
-  its own cell). So candidates with sqrt(d) <= (r-1)*step are
-  guaranteed closer than anything outside the disk; a query finishes
-  when its k-th best candidate satisfies that. r grows doubling from 2
-  until all queries finish (or the disk exceeds the data extent).
-
-At 10^12 scale the expensive side (points) is never re-shuffled across
-iterations: unfinished queries shrink geometrically, and each round is
-a broadcast join against the cell-clustered points table with cell
-pruning on the joined cells.
+  1. Cache the cell-encoded points table ONCE (at deployment scale this
+     is the cell-clustered stored table; nothing is re-shuffled across
+     rounds).
+  2. Round r: each pending query cell expands to its Chebyshev disk of
+     radius r via a native sequence/explode (no UDF); the exploded
+     query set (small dimension) broadcasts into a hash join against
+     points on (cx, cy); per-query top-k by (d2, id) window.
+  3. Sound stop rule: any point OUTSIDE the disk of radius r lies at
+     least (r-1)*step away in some axis from anywhere inside the
+     query's own cell (worst case: query at its cell edge), so a query
+     is finished once it has k candidates with d_k <= ((r-1)*step)^2.
+     Only the per-query (count, d_k) stats — one row per query — come
+     back to the driver; pending queries shrink geometrically and r
+     doubles (so the total work across rounds is a constant factor of
+     the final round).
+  4. Stragglers past max_r (empty regions) fall back to a brute-force
+     broadcast cross join — correct anywhere, hit only for degenerate
+     neighborhoods.
 """
 
 from __future__ import annotations
@@ -44,45 +35,35 @@ from pyspark.sql import functions as F
 from osm_jl_spark.functions.cells import with_cell
 
 
-def _disk_join_topk(
-    points: DataFrame,
-    queries: DataFrame,
-    r: int,
-    k: int,
-    precision: int,
-) -> DataFrame:
+def _disk_join_topk(pts: DataFrame, queries: DataFrame, r: int, k: int
+                    ) -> DataFrame:
     """Top-k candidates per query within the Chebyshev disk of radius r.
 
-    Expands each query cell to its (2r+1)^2 neighbor cells with a
-    native sequence/explode (no UDF), broadcasts the result, and joins
-    points on the exact cell pair.
+    (query_id, id, d2, rn). The exploded query side broadcasts; points
+    arrive through a hash join on the exact cell pair.
     """
     offsets = F.expr(
         f"flatten(transform(sequence(-{r}, {r}), dx ->"
         f" transform(sequence(-{r}, {r}), dy -> struct(dx, dy))))"
     )
-    qx = (
-        queries.withColumn("_o", F.explode(offsets))
-        .select(
-            "query_id",
-            F.col("qlon"),
-            F.col("qlat"),
-            (F.col("qcx") + F.col("_o.dx")).alias("cx"),
-            (F.col("qcy") + F.col("_o.dy")).alias("cy"),
-        )
+    qx = queries.withColumn("_o", F.explode(offsets)).select(
+        "query_id",
+        "qlon",
+        "qlat",
+        (F.col("qcx") + F.col("_o.dx")).alias("cx"),
+        (F.col("qcy") + F.col("_o.dy")).alias("cy"),
     )
-    cand = points.join(F.broadcast(qx), ["cx", "cy"], "inner")
+    cand = pts.join(F.broadcast(qx), ["cx", "cy"], "inner")
     dx = F.col("lon") - F.col("qlon")
     dy = F.col("lat") - F.col("qlat")
-    d2 = dx * dx + dy * dy
     w = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("id").asc()
     )
     return (
-        cand.withColumn("d2", d2)
+        cand.withColumn("d2", dx * dx + dy * dy)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "qlon", "qlat", "id", "d2", "rn")
+        .select("query_id", "id", "d2", "rn")
     )
 
 
@@ -94,54 +75,87 @@ def knn_join(
     max_r: int = 64,
 ) -> DataFrame:
     """kNN join: queries (query_id, qlon, qlat) x points (id, lon, lat)
-    -> (query_id, id, rank) with rank 1..k by (distance, id).
-
-    Iterative ring expansion with a sound completion bound; falls back
-    to a full scan for queries still unfinished at max_r (empty or
-    near-empty regions)."""
+    -> (query_id, id, rank) with rank 1..k by (distance, id)."""
+    spark = points.sparkSession
     step = 10.0 ** (-precision)
-    pts = with_cell(points.select("id", "lon", "lat"), precision)
-    q = with_cell(
-        queries.select("query_id", F.col("qlon"), F.col("qlat")),
+    pts = with_cell(points.select("id", "lon", "lat"), precision).cache()
+    q_all = with_cell(
+        queries.select("query_id", "qlon", "qlat"),
         precision, lon="qlon", lat="qlat", cx="qcx", cy="qcy",
     ).cache()
+    q_all.count()  # materialize once
+
+    import math
 
     done_parts: list[DataFrame] = []
-    pending = q
+    pending_ids = [
+        row["query_id"] for row in q_all.select("query_id").collect()
+    ]
+    pending = q_all
     r = 2
-    while r <= max_r:
-        topk = _disk_join_topk(pts, pending, r, k, precision).cache()
-        # a query is finished when it has k candidates and the k-th
-        # distance is within the proven bound ((r-1)*step)^2
+    for round_no in (1, 2):
+        topk = _disk_join_topk(pts, pending, r, k)
         bound = ((r - 1) * step) ** 2
-        stats = topk.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("_n"), F.max("d2").alias("_dk")
-        )
-        finished_ids = stats.filter(
-            (F.col("_n") >= k) & (F.col("_dk") <= F.lit(bound))
-        ).select("query_id")
-        done_parts.append(
-            topk.join(finished_ids, "query_id", "left_semi").select(
-                "query_id", "id", F.col("rn").alias("rank")
+        # one tiny row per PENDING query: (n candidates, k-th distance).
+        # Queries are the small dimension, so driver-side bookkeeping
+        # is the cheap direction.
+        stats = {
+            row["query_id"]: (row["n"], row["dk"])
+            for row in topk.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n"), F.max("d2").alias("dk")
+            ).collect()
+        }
+        finished = [
+            qid for qid in pending_ids
+            if qid in stats and stats[qid][0] >= k and stats[qid][1] <= bound
+        ]
+        if finished:
+            fin_df = spark.createDataFrame(
+                [(int(i),) for i in finished], "query_id BIGINT"
             )
-        )
-        pending = pending.join(finished_ids, "query_id", "left_anti").cache()
-        if pending.limit(1).count() == 0:
-            pending = None
+            done_parts.append(
+                topk.join(F.broadcast(fin_df), "query_id", "left_semi")
+                .select("query_id", "id", F.col("rn").alias("rank"))
+            )
+        pending_ids = [q for q in pending_ids if q not in set(finished)]
+        if not pending_ids or round_no == 2:
             break
-        r *= 2
-    if pending is not None and pending.limit(1).count() > 0:
-        # brute-force the stragglers (cross join against all points);
-        # correct anywhere, only hit for sparse/empty neighborhoods
+        # adaptive jump (round 2): a query with k candidates at max
+        # distance dk is provably finished once (r-1)*step >= sqrt(dk)
+        # — go straight to the largest such radius. Queries with FEWER
+        # than k candidates sit in near-empty regions where ring
+        # expansion cannot bound the answer cheaply; they skip to the
+        # brute-force fallback instead of spiraling.
+        jump_ids = [
+            qid for qid in pending_ids
+            if qid in stats and stats[qid][0] >= k
+        ]
+        if not jump_ids:
+            break
+        need = [
+            int(math.ceil(math.sqrt(stats[qid][1]) / step)) + 1
+            for qid in jump_ids
+        ]
+        r = min(max(max(need), r + 1), max_r)
+        pend_df = spark.createDataFrame(
+            [(int(i),) for i in jump_ids], "query_id BIGINT"
+        )
+        # only the jump set runs round 2; the rest stays in pending_ids
+        # for the brute fallback below
+        pending = q_all.join(F.broadcast(pend_df), "query_id", "left_semi")
+    if pending_ids:
+        pend_df = spark.createDataFrame(
+            [(int(i),) for i in pending_ids], "query_id BIGINT"
+        )
+        pending = q_all.join(F.broadcast(pend_df), "query_id", "left_semi")
         dx = F.col("lon") - F.col("qlon")
         dy = F.col("lat") - F.col("qlat")
-        d2 = dx * dx + dy * dy
         w = Window.partitionBy("query_id").orderBy(
             F.col("d2").asc(), F.col("id").asc()
         )
         brute = (
             pts.crossJoin(F.broadcast(pending.select("query_id", "qlon", "qlat")))
-            .withColumn("d2", d2)
+            .withColumn("d2", dx * dx + dy * dy)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "id", "rank")
@@ -150,4 +164,9 @@ def knn_join(
     out = done_parts[0]
     for part in done_parts[1:]:
         out = out.unionByName(part)
+    # materialize before unpersisting the inputs the plan depends on
+    out = out.cache()
+    out.count()
+    pts.unpersist()
+    q_all.unpersist()
     return out

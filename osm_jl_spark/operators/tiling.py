@@ -101,15 +101,17 @@ def raster_to_vector(tiles: DataFrame, threshold: int = 1) -> DataFrame:
     """Raster->vector: tiles with n_points >= threshold become cell
     boxes (cx, cy, min_lon, min_lat, max_lon, max_lat, n_points).
 
-    The box is the trunc-preimage of the cell: for cx>=0 the interval
-    [cx, cx+1)*step, for cx<0 (cx-1, cx]*step — trunc-toward-zero
-    makes negative cells sit on the other side of their index, and cell
-    0 spans (-step, step) (src/index.jl:17 semantics).
+    The box is the trunc-preimage of the cell: for cx>0 the interval
+    [cx, cx+1)*step, for cx<0 (cx-1, cx]*step, and cell 0 is DOUBLE
+    width, spanning (-step, step) — trunc-toward-zero collapses both
+    signs' first cell into index 0 (src/index.jl:17 semantics).
     """
-    # operate at the precision implied by the caller's tiles; the step
-    # must be supplied via a column if mixed precisions are present
     def lo(c):
-        return F.when(F.col(c) >= 0, F.col(c)).otherwise(F.col(c) - 1)
+        return (
+            F.when(F.col(c) > 0, F.col(c))
+            .when(F.col(c) == 0, F.lit(-1))
+            .otherwise(F.col(c) - 1)
+        )
 
     def hi(c):
         return F.when(F.col(c) >= 0, F.col(c) + 1).otherwise(F.col(c))

@@ -98,6 +98,42 @@ def pip_test_udf(polygons: dict[int, Ring]):
     return _pip
 
 
+def pip_test_or_full_udf(polygons: dict[int, Ring]):
+    """pandas UDF: (lon, lat, polygon_id, is_full) -> bool.
+
+    Single-pass variant for the cover join: FULL-cell rows short-circuit
+    to True with zero geometry work (a vectorized mask skip); only
+    boundary rows run the even-odd test. Spark extracts Python UDFs out
+    of filters and evaluates them for EVERY input row, so pushing the
+    short-circuit inside the UDF is the only way to keep one pipeline
+    pass — a two-branch filter+union would re-execute the whole
+    upstream (geoparse etc.) once per branch.
+    """
+    polys = dict(polygons)
+
+    @F.pandas_udf(T.BooleanType())
+    def _pip(lon: pd.Series, lat: pd.Series, pid: pd.Series,
+             is_full: pd.Series) -> pd.Series:
+        full = is_full.to_numpy(dtype=bool)
+        out = full.copy()
+        bsel = ~full
+        if bsel.any():
+            lo = lon.to_numpy(dtype=np.float64)[bsel]
+            la = lat.to_numpy(dtype=np.float64)[bsel]
+            ids = pid.to_numpy()[bsel]
+            res = np.zeros(len(lo), dtype=bool)
+            for p in np.unique(ids):
+                ring = polys.get(int(p))
+                if ring is None:
+                    continue
+                sel = ids == p
+                res[sel] = pip_mask(lo[sel], la[sel], ring)
+            out[bsel] = res
+        return pd.Series(out)
+
+    return _pip
+
+
 # ------------------------------------------------------------ cell cover
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm_jl_spark.functions.cells import bbox_cell_range, with_cell
-from osm_jl_spark.functions.geo import Ring, cell_cover, pip_test_udf
+from osm_jl_spark.functions.geo import Ring, cell_cover, pip_test_or_full_udf
 
 
 def explode_way_refs(ways: DataFrame) -> DataFrame:
@@ -115,11 +115,13 @@ def nodes_in_polygons(
         (pts.cx == cover.ccx) & (pts.cy == cover.ccy),
         "inner",
     )
-    exact = pip_test_udf(polygons)
-    return (
-        cand.filter(F.col("is_full") | exact(F.col(lon), F.col(lat), F.col("polygon_id")))
-        .drop("ccx", "ccy", "is_full", "cx", "cy")
-    )
+    # Single pass: the UDF short-circuits FULL-cell rows internally
+    # (vectorized mask — no geometry work for interior points). See
+    # pip_test_or_full_udf for why a filter+union split is wrong here.
+    exact = pip_test_or_full_udf(polygons)
+    return cand.filter(
+        exact(F.col(lon), F.col(lat), F.col("polygon_id"), F.col("is_full"))
+    ).drop("ccx", "ccy", "is_full", "cx", "cy")
 
 
 def ways_in_polygon(

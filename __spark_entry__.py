@@ -285,12 +285,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.ngram_jaccard_pairs(corpus, threshold=0.5)
 
     def minhash_pairs_q(spark, sf_dir):
+        # md5_60 hash variant: bit-identical shingle hashes in DuckDB,
+        # so the full minhash pipeline (signatures -> banding -> est
+        # jaccard) is value-checked by the oracle. Production default
+        # stays xxhash64 (faster, same plan).
         corpus = _neardup_corpus(_pq(spark, sf_dir, "documents"))
-        return D.minhash_dedup_pairs(corpus, threshold=0.5)
+        return D.minhash_dedup_pairs(corpus, threshold=0.5, hash_fn="md5_60")
 
     def simhash_pairs_q(spark, sf_dir):
         corpus = _neardup_corpus(_pq(spark, sf_dir, "documents"))
-        return D.simhash_near_dups(corpus, max_hamming=3)
+        return D.simhash_near_dups(corpus, max_hamming=3, hash_fn="md5_60")
 
     def embedding_knn_q(spark, sf_dir):
         emb = _pq(spark, sf_dir, "embeddings").withColumn(
@@ -305,10 +309,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def embedding_near_dups_q(spark, sf_dir):
+        # The driver embeddings have no natural near-dups (max pairwise
+        # cosine ~0.51), so union an id-shifted copy: the duplicate
+        # pairs have cosine 1.0, every hyperplane dot is identical, so
+        # LSH recall is exactly 1 and the brute-force oracle matches
+        # deterministically. cosine itself is excluded from the output
+        # (engines may differ in last-ulp float summation).
         emb = _pq(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
         )
-        return D.embedding_near_dups(emb, threshold=0.8).select(
+        emb2 = emb.select("vec_id", "embedding").unionByName(
+            emb.select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        )
+        return D.embedding_near_dups(emb2, threshold=0.95).select(
             "id_a", "id_b"
         )
 
@@ -403,7 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from osm_jl_spark.sources.geojson import way_features
 
         ways = _ways(spark, sf_dir).filter(F.col("id") <= 50)
-        return way_features(ways, _nodes(spark, sf_dir))
+        return way_features(ways, _nodes(spark, sf_dir), coord_decimals=5)
 
     def multimodal_q(spark, sf_dir):
         from osm_jl_spark.operators.multimodal import (
@@ -753,5 +768,156 @@ GROUP BY c_mktsegment"""
   FROM events
 )
 SELECT user_id, event_id, rn FROM r WHERE rn <= 3"""
+
+    # ------------------- minhash / simhash (md5_60 cross-engine hash)
+    # The registered queries use hash_fn='md5_60': shingle hash = top 15
+    # md5 hex digits, reproduced here as CAST('0x'||substr(md5(s),1,15)
+    # AS BIGINT) — verified bit-identical to Spark's
+    # conv(substr(md5(s),1,15),16,10).
+
+    def _sh_cte(n: int) -> str:
+        """Shingle-hash CTE over the neardup corpus for n-gram size n."""
+        return f"""{_NEARDUP_SQL},
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM neardup
+),
+pos AS (SELECT range + 1 AS j FROM range(200)),
+sgs AS (
+  SELECT DISTINCT t.doc_id,
+         array_to_string(list_slice(t.tk, p.j, p.j + {n - 1}), ' ') AS s
+  FROM toks t, pos p WHERE p.j <= len(t.tk) - {n - 1}
+),
+sh AS (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+  FROM sgs
+)"""
+
+    import random as _random
+
+    _rng = _random.Random(42)
+    _M31 = (1 << 31) - 1
+    _ab = [(_rng.randrange(1, _M31), _rng.randrange(0, _M31))
+           for _ in range(32)]
+    perm_vals = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(_ab))
+    # engine semantics replicated exactly: 32 permutations (a*h'+b) mod
+    # M31 over h' = h mod M31, per-doc min per permutation; banding = a
+    # pair must agree on all 4 values of at least one of 8 bands (the
+    # engine buckets on xxhash64 of the band slice — equal slices iff
+    # equal hashes, collisions aside); est_jaccard = matches/32 >= 0.5.
+    out["minhash_pairs"] = f"""WITH {_sh_cte(3)},
+perm(k, a, b) AS (SELECT * FROM (VALUES {perm_vals}) v(k, a, b)),
+sigs AS (
+  SELECT doc_id, p.k, min((p.a * (h % {_M31}) + p.b) % {_M31}) AS sv
+  FROM sh, perm p GROUP BY doc_id, p.k
+),
+bandeq AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.k // 4 AS band,
+         sum(CASE WHEN x.sv = y.sv THEN 1 ELSE 0 END) AS eq
+  FROM sigs x JOIN sigs y ON x.k = y.k AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT id_a, id_b, sum(eq) AS matches,
+         max(CASE WHEN eq = 4 THEN 1 ELSE 0 END) AS shares_band
+  FROM bandeq GROUP BY 1, 2
+)
+SELECT id_a, id_b, matches / 32.0 AS est_jaccard
+FROM pairs WHERE shares_band = 1 AND matches / 32.0 >= 0.5"""
+
+    # simhash: bit votes over the 60-bit hash (bits 60..63 are always 0
+    # so the vote loop stops at 60); hamming via bit_count(xor). The
+    # engine's 16-bit block banding is COMPLETE for hamming <= 3 by
+    # pigeonhole (4 blocks, <= 3 differing bits -> >= 1 equal block),
+    # so the brute-force pair scan here is exactly equivalent.
+    out["simhash_pairs"] = f"""WITH {_sh_cte(2)},
+bits AS (SELECT unnest(range(0, 60)) AS bit),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM sh, bits GROUP BY 1, 2
+),
+sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  FROM votes GROUP BY 1
+)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3"""
+
+    # ------------------------------- embedding near-dups (brute force)
+    out["embedding_near_dups"] = """WITH
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.v, y.v) >= 0.95"""
+
+    # ---------------------------------- osm_xml_parse (golden fixture)
+    # Hand-derived from sources/osm_xml.SAMPLE_OSM_XML (document order;
+    # ways/relations carry no lon/lat).
+    out["osm_xml_parse"] = """SELECT kind, id, CAST(lon AS DOUBLE) AS lon,
+       CAST(lat AS DOUBLE) AS lat
+FROM (VALUES
+  ('node', 1, 10.71299, 59.92589),
+  ('node', 2, 10.72496, 59.92589),
+  ('node', 3, 10.72496, 59.91941),
+  ('node', 4, -40.3554, -20.2273),
+  ('way', 10, NULL, NULL),
+  ('way', 11, NULL, NULL),
+  ('relation', 20, NULL, NULL)
+) v(kind, id, lon, lat)"""
+
+    # ------------------------- multimodal (golden, independent python)
+    # Expected feature sums recomputed by osm_jl_spark.oracle.
+    # media_feature_sum — a list-based pure-Python reimplementation of
+    # the sha256 fake-decode + block-mean resize (independent of the
+    # engine's NumPy path), rounded to 6 like the query.
+    from osm_jl_spark.oracle import media_feature_sum
+
+    mm_rows = []
+    for i in range(64):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = f"media-payload-{i}".encode()
+        w = 16 + (i % 4) * 8
+        h = 16 + (i % 3) * 8
+        s = round(media_feature_sum(payload, w, h), 6)
+        mm_rows.append(f"({i}, '{kind}', 8, 8, {s!r})")
+    out["multimodal_features"] = (
+        "SELECT media_id, kind, out_width, out_height, "
+        "CAST(feat_sum AS DOUBLE) AS feat_sum FROM (VALUES "
+        + ", ".join(mm_rows)
+        + ") v(media_id, kind, out_width, out_height, feat_sum)"
+    )
+
+    # ------------------------------ geojson features (string-rebuilt)
+    # Coordinates are DECIMAL(10,5) in both engines -> byte-identical
+    # "59.92589" / "3.00000" rendering; to_json drops null struct
+    # fields, so a NULL name becomes properties {}.
+    out["geojson_features"] = f"""WITH {nodes}, {ways},
+wn AS (
+  SELECT wr.id, wr.pos,
+         CAST(CAST(n.lon AS DECIMAL(10,5)) AS VARCHAR) AS lons,
+         CAST(CAST(n.lat AS DECIMAL(10,5)) AS VARCHAR) AS lats
+  FROM ways_refs wr JOIN nodes n ON wr.ref = n.id
+  WHERE wr.id <= 50
+),
+ring AS (
+  SELECT id,
+         string_agg('[' || lons || ',' || lats || ']', ',' ORDER BY pos) AS cs
+  FROM wn GROUP BY id
+)
+SELECT r.id AS way_id,
+       '{{"type":"Feature","id":' || r.id ||
+       ',"geometry":{{"type":"Polygon","coordinates":[[' || r.cs ||
+       ']]}},"properties":' ||
+       CASE WHEN w.t_name IS NULL THEN '{{}}'
+            ELSE '{{"name":"' || w.t_name || '"}}' END || '}}' AS feature
+FROM ring r JOIN ways w ON w.id = r.id"""
 
     return out

@@ -53,15 +53,31 @@ def exact_dedup(
     return docs.join(keep, id_col, "left_semi")
 
 
-def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int
-                    ) -> DataFrame:
-    """(id, sh) exploded distinct shingle hashes (xxhash64, JVM-side)."""
+def _hash60(col):
+    """60-bit positive hash from the top 15 md5 hex digits — exactly
+    reproducible in DuckDB as CAST('0x' || substr(md5(s),1,15) AS
+    BIGINT), which is what makes minhash/simhash oracle-checkable."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int,
+                    hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, sh) exploded distinct shingle hashes, JVM-side.
+
+    hash_fn: 'xxhash64' (default — fastest, Spark-only) or 'md5_60'
+    (cross-engine: bit-identical in DuckDB, used by the oracle-checked
+    query registrations; ~2x slower per shingle, same plan shape).
+    """
+    sh = (
+        F.xxhash64("shingle") if hash_fn == "xxhash64"
+        else _hash60(F.col("shingle"))
+    )
     return (
         docs.select(
             F.col(id_col).alias("id"),
             F.explode(shingles_col(text_col, n)).alias("shingle"),
         )
-        .select("id", F.xxhash64("shingle").alias("sh"))
+        .select("id", sh.alias("sh"))
         .distinct()
     )
 
@@ -73,6 +89,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig ARRAY<BIGINT>[num_hashes]) MinHash signatures.
 
@@ -88,7 +105,7 @@ def minhash_signatures(
     rng = random.Random(seed)
     ab = [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
           for _ in range(num_hashes)]
-    sh = _shingle_hashes(docs, id_col, text_col, shingle_n)
+    sh = _shingle_hashes(docs, id_col, text_col, shingle_n, hash_fn)
     # positive 31-bit base hash, then all permutations as one array
     base = F.pmod(F.col("sh"), F.lit(MERSENNE31))
     perms = F.array(
@@ -163,12 +180,14 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded
     candidates -> signature-estimated Jaccard filter.
     (id_a, id_b, est_jaccard >= threshold)."""
     sigs = minhash_signatures(
-        docs, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        docs, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n,
+        hash_fn=hash_fn,
     )
     cand = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -234,6 +253,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash BIGINT): 64-bit SimHash via explode + bit votes.
 
@@ -241,7 +261,7 @@ def simhash_signatures(
     of the sum sets bit j. All native: shiftright/bitwise-and inside an
     aggregate over a generated bit-position array.
     """
-    sh = _shingle_hashes(docs, id_col, text_col, shingle_n)
+    sh = _shingle_hashes(docs, id_col, text_col, shingle_n, hash_fn)
     bit = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
     votes = (
         sh.select("id", "sh", bit)
@@ -276,12 +296,13 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b, hamming <= max_hamming) via 4-block banding:
     two 64-bit hashes within hamming distance <=3 agree on at least one
     16-bit block (pigeonhole) -> block-bucket join, then exact hamming
     check with bit_count (native)."""
-    sigs = simhash_signatures(docs, id_col, text_col, shingle_n)
+    sigs = simhash_signatures(docs, id_col, text_col, shingle_n, hash_fn)
     blocks = sigs.select(
         "id",
         "simhash",

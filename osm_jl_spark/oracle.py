@@ -97,3 +97,44 @@ def knn_bruteforce(
         ((p[1] - qlon) ** 2 + (p[2] - qlat) ** 2, p[0]) for p in points
     )
     return [pid for _, pid in scored[:k]]
+
+
+# ------------------------------------------------------- multimodal fake
+
+
+def media_feature_sum(
+    payload: bytes, width: int, height: int, ow: int = 8, oh: int = 8
+) -> float:
+    """Independent pure-Python (list-based, no NumPy) recomputation of
+    operators/multimodal.decode_and_featurize's per-item feature sum:
+    sha256-seeded fake decode -> block-mean resize to (oh, ow) -> sum.
+    Used to derive golden VALUES for the multimodal oracle SQL.
+
+    Bin edges i*(height/oh), j*(width/ow) are exact integers for the
+    synthetic fixture (dims are multiples of 8), so there is no float
+    binning ambiguity to replicate.
+    """
+    import hashlib
+
+    digest = hashlib.sha256(payload).digest()
+    seed = [b / 255.0 for b in digest]
+    n = width * height
+    flat = [seed[k % len(seed)] for k in range(n)]
+
+    def edge(total: int, parts: int, i: int) -> int:
+        return int(i * (total / parts))
+
+    total = 0.0
+    for bi in range(oh):
+        y0, y1 = edge(height, oh, bi), edge(height, oh, bi + 1)
+        y1 = max(y1, y0 + 1)
+        for bj in range(ow):
+            x0, x1 = edge(width, ow, bj), edge(width, ow, bj + 1)
+            x1 = max(x1, x0 + 1)
+            vals = [
+                flat[y * width + x]
+                for y in range(y0, y1)
+                for x in range(x0, x1)
+            ]
+            total += sum(vals) / len(vals)
+    return total

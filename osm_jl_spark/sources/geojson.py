@@ -19,18 +19,32 @@ from pyspark.sql import functions as F
 from osm_jl_spark.operators.joins import way_geometries
 
 
-def way_features(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+def way_features(
+    ways: DataFrame, nodes: DataFrame, coord_decimals: int | None = None
+) -> DataFrame:
     """(way_id, feature STRING): GeoJSON Feature per way.
 
     Coordinates are [[lon, lat], ...] in node_refs order; closed rings
     come out closed because the ref list itself repeats the first node
     (the reference emits the ring verbatim too, src/geojson.jl:19).
+
+    ``coord_decimals``: if set, coordinates are emitted as fixed-scale
+    decimals (e.g. 5 -> "59.92589", "3.00000") instead of raw doubles.
+    Raw doubles render small values in scientific notation ("5.7E-4"),
+    which is valid JSON but not canonical — fixed-scale output is
+    byte-reproducible across engines (the DuckDB oracle relies on it).
     """
     geo = way_geometries(ways, nodes)
     named = ways.select(
         F.col("id").alias("way_id"),
         F.element_at(F.col("tags"), F.lit("name")).alias("name"),
     )
+
+    def coord(c):
+        if coord_decimals is None:
+            return c
+        return c.cast(f"decimal({5 + coord_decimals},{coord_decimals})")
+
     feat = F.to_json(
         F.struct(
             F.lit("Feature").alias("type"),
@@ -39,7 +53,8 @@ def way_features(ways: DataFrame, nodes: DataFrame) -> DataFrame:
                 F.lit("Polygon").alias("type"),
                 F.array(
                     F.transform(
-                        "coords", lambda c: F.array(c["lon"], c["lat"])
+                        "coords",
+                        lambda c: F.array(coord(c["lon"]), coord(c["lat"])),
                     )
                 ).alias("coordinates"),
             ).alias("geometry"),

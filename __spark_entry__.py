@@ -412,6 +412,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("user_id", "event_id", "rn")
         )
 
+    def ecef_enu_q(spark, sf_dir):
+        # C3/C4 (src/coords.jl): geodetic -> ECEF -> local ENU at the
+        # Frogner corner, all native column math; outputs rounded to cm
+        # (sin/cos may differ by an ulp between engines) and +0.0 to
+        # normalize -0.0.
+        from osm_jl_spark.functions.geo import with_enu
+
+        n = _nodes(spark, sf_dir).filter(F.col("id") <= 500)
+        e = with_enu(n, G.FROGNER[0][0], G.FROGNER[0][1])
+        return e.select(
+            "id",
+            *[
+                (F.round(c, 2) + F.lit(0.0)).alias(c)
+                for c in ["ecef_x", "ecef_y", "ecef_z",
+                          "enu_e", "enu_n", "enu_u"]
+            ],
+        )
+
+    def frame_sample_q(spark, sf_dir):
+        from osm_jl_spark.operators.multimodal import (
+            frame_sample,
+            synthetic_media,
+        )
+
+        return frame_sample(synthetic_media(spark, 64), every_n=10)
+
+    def tag_update_q(spark, sf_dir):
+        # C8 tag!: functional tag update, canonicalized for comparison
+        ways = _ways(spark, sf_dir).filter(F.col("id") <= 200)
+        after = F.concat_ws(
+            ";",
+            F.array_sort(
+                F.transform(
+                    F.map_entries(E.tag_set("touched", "yes")),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+        )
+        return ways.select(
+            "id",
+            E.tags_canonical().alias("tags_before"),
+            after.alias("tags_after"),
+        )
+
     # --------------------------------------------- rows-only (no oracle)
 
     def geojson_q(spark, sf_dir):
@@ -474,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_by_lang": token_count_by_lang_q,
         "lang_id": lang_id_q,
         "doc_fingerprints": fingerprint_q,
+        "ecef_enu": ecef_enu_q,
+        "frame_sample": frame_sample_q,
+        "tag_update": tag_update_q,
         "tpch_q1": tpch_q1_q,
         "orders_by_segment": orders_by_segment_q,
         "events_top3": events_top3_q,
@@ -768,6 +815,82 @@ GROUP BY c_mktsegment"""
   FROM events
 )
 SELECT user_id, event_id, rn FROM r WHERE rn <= 3"""
+
+    # ------------------------------------------- ECEF / ENU (C3 / C4)
+    # Constants inlined from the same python-math evaluation the engine
+    # bakes into its plan as literals; only per-row radians/sin/cos/sqrt
+    # run in each engine (ulp-level differences, absorbed by round-to-cm
+    # on ~1e-9 m discrepancies). +0.0 normalizes -0.0 in both engines.
+    import math as _math
+
+    _re, _rp = 6378137.0, 6356752.3
+    _e2 = 1.0 - (_rp * _rp) / (_re * _re)
+    _phi0 = _math.radians(G.FROGNER[0][1])
+    _lam0 = _math.radians(G.FROGNER[0][0])
+    _n0 = _re / _math.sqrt(1.0 - _e2 * _math.sin(_phi0) ** 2)
+    _x0 = _n0 * _math.cos(_phi0) * _math.cos(_lam0)
+    _y0 = _n0 * _math.cos(_phi0) * _math.sin(_lam0)
+    _z0 = (1.0 - _e2) * _n0 * _math.sin(_phi0)
+    _sp, _cp = _math.sin(_phi0), _math.cos(_phi0)
+    _sl, _cl = _math.sin(_lam0), _math.cos(_lam0)
+    out["ecef_enu"] = f"""WITH {nodes},
+g AS (
+  SELECT id, radians(lat) AS phi, radians(lon) AS lam
+  FROM nodes WHERE id <= 500
+),
+c AS (
+  SELECT id, phi, lam,
+         {_re!r} / sqrt(1.0 - {_e2!r} * sin(phi) * sin(phi)) AS nn
+  FROM g
+),
+x AS (
+  SELECT id,
+         ((nn + 0.0) * cos(phi)) * cos(lam) AS ex,
+         ((nn + 0.0) * cos(phi)) * sin(lam) AS ey,
+         ({(1.0 - _e2)!r} * nn + 0.0) * sin(phi) AS ez
+  FROM c
+)
+SELECT id,
+       round(ex, 2) + 0.0 AS ecef_x, round(ey, 2) + 0.0 AS ecef_y,
+       round(ez, 2) + 0.0 AS ecef_z,
+       round({-_sl!r} * (ex - {_x0!r}) + {_cl!r} * (ey - {_y0!r}), 2) + 0.0 AS enu_e,
+       round({(-_sp * _cl)!r} * (ex - {_x0!r}) + {(-_sp * _sl)!r} * (ey - {_y0!r}) + {_cp!r} * (ez - {_z0!r}), 2) + 0.0 AS enu_n,
+       round({(_cp * _cl)!r} * (ex - {_x0!r}) + {(_cp * _sl)!r} * (ey - {_y0!r}) + {_sp!r} * (ez - {_z0!r}), 2) + 0.0 AS enu_u
+FROM x"""
+
+    # ------------------------------------------ frame_sample (golden)
+    fs_rows = ", ".join(
+        f"({i}, {30 + i})" for i in range(64) if i % 3 == 2
+    )
+    out["frame_sample"] = f"""WITH m(media_id, n_frames) AS (
+  SELECT * FROM (VALUES {fs_rows}) v(media_id, n_frames)
+),
+j AS (SELECT range AS r FROM range(0, 10))
+SELECT m.media_id, r * 10 AS frame_idx
+FROM m, j WHERE r * 10 <= m.n_frames - 1"""
+
+    # ------------------------------------------------ tag_update (C8)
+    def _kv(col: str, key: str) -> str:
+        return (f"CASE WHEN {col} IS NOT NULL THEN '{key}=' || {col} END")
+
+    _way_kvs = ", ".join(
+        _kv(c, k) for c, k in [
+            ("t_name", "name"), ("t_highway", "highway"),
+            ("t_building", "building"), ("t_addr_street", "addr:street"),
+            ("t_addr_housenumber", "addr:housenumber"),
+        ]
+    )
+    out["tag_update"] = f"""WITH {ways},
+b AS (
+  SELECT id,
+         list_sort(list_filter([{_way_kvs}], x -> x IS NOT NULL)) AS kv
+  FROM ways WHERE id <= 200
+)
+SELECT id,
+       coalesce(array_to_string(kv, ';'), '') AS tags_before,
+       coalesce(array_to_string(list_sort(list_append(kv, 'touched=yes')), ';'), '')
+         AS tags_after
+FROM b"""
 
     # ------------------- minhash / simhash (md5_60 cross-engine hash)
     # The registered queries use hash_fn='md5_60': shingle hash = top 15

@@ -225,6 +225,48 @@ def with_ecef(df, lon: str = "lon", lat: str = "lat", h=None):
     )
 
 
+def with_enu(df, ref_lon: float, ref_lat: float,
+             lon: str = "lon", lat: str = "lat", h=None):
+    """Geodetic -> local East-North-Up meters at a reference point.
+
+    The reference's ENU is broken twice (SURVEY.md §2.8 C4): the
+    rotation matrix repeats -sin(φ)cos(λ) where -sin(φ)sin(λ) belongs
+    (src/coords.jl:12) and the 3-arg form pipes a tuple into a
+    3-parameter lambda (arity error, src/coords.jl:23); it is also
+    unused anywhere downstream. This implements the CORRECT standard
+    rotation (documented deviation), as native column math.
+    """
+    import math as _m
+
+    df = with_ecef(df, lon=lon, lat=lat, h=h)
+    # reference point ECEF (python floats — exact literals in-plan)
+    re_ = 6378137.0
+    rp = 6356752.3
+    e2 = 1.0 - (rp * rp) / (re_ * re_)
+    phi0 = _m.radians(ref_lat)
+    lam0 = _m.radians(ref_lon)
+    n0 = re_ / _m.sqrt(1.0 - e2 * _m.sin(phi0) ** 2)
+    x0 = n0 * _m.cos(phi0) * _m.cos(lam0)
+    y0 = n0 * _m.cos(phi0) * _m.sin(lam0)
+    z0 = (1.0 - e2) * n0 * _m.sin(phi0)
+    dx = F.col("ecef_x") - F.lit(x0)
+    dy = F.col("ecef_y") - F.lit(y0)
+    dz = F.col("ecef_z") - F.lit(z0)
+    sp, cp = _m.sin(phi0), _m.cos(phi0)
+    sl, cl = _m.sin(lam0), _m.cos(lam0)
+    return (
+        df.withColumn("enu_e", F.lit(-sl) * dx + F.lit(cl) * dy)
+        .withColumn(
+            "enu_n",
+            F.lit(-sp * cl) * dx + F.lit(-sp * sl) * dy + F.lit(cp) * dz,
+        )
+        .withColumn(
+            "enu_u",
+            F.lit(cp * cl) * dx + F.lit(cp * sl) * dy + F.lit(sp) * dz,
+        )
+    )
+
+
 def haversine_m(lon1, lat1, lon2, lat2):
     """Great-circle distance in meters, native column math."""
     r = 6371008.8

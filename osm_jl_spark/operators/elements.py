@@ -115,3 +115,33 @@ def is_road(node_refs: str = "node_refs") -> Column:
 def relation_type(tags: str = "tags") -> Column:
     """Relation 'type' tag (src/elements.jl:318)."""
     return gettag("type", tags)
+
+
+def tag_set(key: str, value, tags: str = "tags") -> Column:
+    """C8 ``tag!(e, k, v)`` (src/elements.jl:53-58) as a functional
+    map update: remove any existing entry for ``key``, append the new
+    one. (map_concat is NOT usable here — Spark's default
+    mapKeyDedupPolicy=EXCEPTION throws on duplicate keys.)"""
+    val = value if isinstance(value, Column) else F.lit(value)
+    kept = F.filter(
+        F.map_entries(F.col(tags)), lambda e: e["key"] != F.lit(key)
+    )
+    entry = F.array(
+        F.struct(F.lit(key).alias("key"), val.alias("value"))
+    )
+    return F.map_from_entries(F.concat(kept, entry))
+
+
+def tags_canonical(tags: str = "tags") -> Column:
+    """Deterministic string form of a tags map: sorted 'k=v' entries
+    joined with ';' — maps have no cross-engine canonical order, so
+    comparisons (and the DuckDB oracle) use this."""
+    return F.concat_ws(
+        ";",
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col(tags)),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+    )

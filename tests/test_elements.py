@@ -71,3 +71,40 @@ def test_highway_class_filter(spark):
     sel = E.highways_of_class(ways, HIGHWAY_CLASSES[:2])
     for r in sel.collect():
         assert r["tags"]["highway"] in HIGHWAY_CLASSES[:2]
+
+
+def test_tag_set_updates_and_overwrites(spark):
+    ways = load_ways(spark, W, M).limit(20)
+    touched = ways.select(
+        "id", "tags", E.tag_set("touched", "yes").alias("t2")
+    )
+    for r in touched.collect():
+        assert r["t2"]["touched"] == "yes"
+        for k, v in r["tags"].items():
+            assert r["t2"][k] == v
+    # overwriting an existing key must not raise (map_concat would)
+    # and must keep exactly one entry
+    over = ways.select(E.tag_set("name", "NEW").alias("t2"))
+    for r in over.collect():
+        assert r["t2"]["name"] == "NEW"
+        assert list(r["t2"].keys()).count("name") == 1
+
+
+def test_with_enu_geometry(spark):
+    from osm_jl_spark.functions.geo import with_enu
+
+    ref_lon, ref_lat = 10.71299, 59.92589
+    pts = spark.createDataFrame(
+        [(1, ref_lon, ref_lat),           # the reference point itself
+         (2, ref_lon + 0.01, ref_lat),    # due east
+         (3, ref_lon, ref_lat + 0.01)],   # due north
+        "id LONG, lon DOUBLE, lat DOUBLE",
+    )
+    rows = {r["id"]: r for r in with_enu(
+        pts, ref_lon, ref_lat).collect()}
+    assert abs(rows[1]["enu_e"]) < 1e-6
+    assert abs(rows[1]["enu_n"]) < 1e-6
+    assert abs(rows[1]["enu_u"]) < 1e-6
+    # 0.01 deg lon at 60N ~ 559 m east; 0.01 deg lat ~ 1112 m north
+    assert 500 < rows[2]["enu_e"] < 600 and abs(rows[2]["enu_n"]) < 5
+    assert 1050 < rows[3]["enu_n"] < 1150 and abs(rows[3]["enu_e"]) < 5

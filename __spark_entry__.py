@@ -69,11 +69,11 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ingest pipeline: pages -> extracted text -> geoparse."""
-    from osm_jl_spark.operators.pipeline import geoparse_points, pages_with_text
+    """The ingest pipeline: pages -> extracted text -> geoparse, as the
+    fused single-Arrow-pass kernel (geoparse_html_udf)."""
+    from osm_jl_spark.operators.pipeline import geoparse_points_from_html
 
-    pages = pages_with_text(_pages(spark, sf_dir))
-    return geoparse_points(pages, text_col="extracted_text")
+    return geoparse_points_from_html(_pages(spark, sf_dir))
 
 
 def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,27 @@ _POINT_SCHEMA = T.ArrayType(
 
 
 @F.pandas_udf(_POINT_SCHEMA)
+def geoparse_html_udf(html: pd.Series) -> pd.Series:
+    """Fused ingest kernel: html binary -> extracted text -> geoparsed
+    points in ONE Arrow round trip. Equivalent to
+    ``geoparse_udf(extract_text_udf(html))`` but the intermediate text
+    never crosses the JVM<->Python boundary (two ArrowEvalPython stages
+    collapse into one) — at 10^12 docs that intermediate is the widest
+    column in the pipeline."""
+
+    def parse(b):
+        if b is None:
+            return []
+        t = extract_text(bytes(b))
+        return [
+            (i, float(lon), float(lat))
+            for i, (lat, lon) in enumerate(GEO_RE.findall(t))
+        ]
+
+    return html.map(parse)
+
+
+@F.pandas_udf(_POINT_SCHEMA)
 def geoparse_udf(text: pd.Series) -> pd.Series:
     """Extract ordered (lon, lat) coordinate mentions from text.
 

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osm_jl_spark.functions.text import extract_text_udf, geoparse_udf
+from osm_jl_spark.functions.text import (
+    extract_text_udf,
+    geoparse_html_udf,
+    geoparse_udf,
+)
 
 
 def pages_with_text(pages: DataFrame) -> DataFrame:
@@ -30,6 +34,23 @@ def geoparse_points(pages: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         pages.select(
             "url", F.explode(geoparse_udf(F.col(text_col))).alias("p")
+        )
+        .select(
+            "url",
+            F.col("p.pt_idx").alias("pt_idx"),
+            F.col("p.lon").alias("lon"),
+            F.col("p.lat").alias("lat"),
+        )
+    )
+
+
+def geoparse_points_from_html(pages: DataFrame) -> DataFrame:
+    """Ingest path: html -> text -> points with the FUSED kernel (one
+    Arrow pass; see geoparse_html_udf). Byte-identical text semantics —
+    pinned against the two-stage path by tests/test_text.py."""
+    return (
+        pages.select(
+            "url", F.explode(geoparse_html_udf(F.col("html"))).alias("p")
         )
         .select(
             "url",

@@ -78,23 +78,46 @@ def tile_rollup(
     """Multi-resolution rollup: (precision, cx, cy, n_points) for each
     requested precision — the H3/S2-style hierarchy (SURVEY.md §2.4).
 
+    SINGLE PASS over the input: each point explodes to one row per
+    requested precision (native inline array — no UDF), then one salted
+    two-stage aggregation covers every level. A per-level loop would
+    re-execute the whole upstream (at the flagship this includes the
+    geoparse pandas UDF) once per level; exploding trades that for
+    len(precisions)x more rows into the map-side partial aggregation,
+    which shrinks them to per-(cell,salt) partials before the shuffle —
+    strictly cheaper at scale.
+
     Each level re-encodes from the raw coordinate (trunc cells do not
     nest arithmetically across zero — functions/cells.py docstring), so
     every level is exactly what a single-shot encode at that precision
-    would give. Levels union; each aggregates from the FINEST level's
-    partials where possible — we aggregate the finest grid once, then
-    roll coarser levels up from it only when nesting is exact (all
-    cells same sign); the general path just re-aggregates the input,
-    still one shuffle per level over already-salted partials.
+    would give.
     """
-    out = None
-    for p in sorted(precisions, reverse=True):
-        lvl = tile_counts(points, p, lon=lon, lat=lat,
-                          salt_buckets=salt_buckets).select(
-            F.lit(p).alias("precision"), "cx", "cy", "n_points"
-        )
-        out = lvl if out is None else out.unionByName(lvl)
-    return out
+    from osm_jl_spark.functions.cells import cell_coord
+
+    plist = sorted(precisions, reverse=True)
+    lvl = points.withColumn(
+        "precision", F.explode(F.array(*[F.lit(p) for p in plist]))
+    )
+    # cell_coord needs a literal precision per expression: encode as a
+    # CASE over the (small) precision list, still whole-stage codegen
+    cx = None
+    cy = None
+    for p in plist:
+        cond = F.col("precision") == p
+        cxe = cell_coord(lon, p)
+        cye = cell_coord(lat, p)
+        cx = F.when(cond, cxe) if cx is None else cx.when(cond, cxe)
+        cy = F.when(cond, cye) if cy is None else cy.when(cond, cye)
+    enc = lvl.withColumn("cx", cx).withColumn("cy", cy)
+    salt = F.pmod(F.hash(F.col(lon), F.col(lat)), F.lit(salt_buckets))
+    partial = (
+        enc.withColumn("_salt", salt)
+        .groupBy("precision", "cx", "cy", "_salt")
+        .agg(F.count(F.lit(1)).alias("pn"))
+    )
+    return partial.groupBy("precision", "cx", "cy").agg(
+        F.sum("pn").alias("n_points")
+    )
 
 
 def raster_to_vector(tiles: DataFrame, threshold: int = 1) -> DataFrame:

@@ -70,3 +70,21 @@ def test_lang_id_and_quality_cols(spark):
     assert rows[2]["lang"] == "und"
     assert rows[3]["nt"] == 0
     assert rows[0]["bt"] >= rows[0]["nt"]
+
+
+def test_fused_geoparse_html_matches_two_stage(spark):
+    from osm_jl_spark import datagen as G
+    from osm_jl_spark.operators.pipeline import (
+        geoparse_points,
+        geoparse_points_from_html,
+        pages_with_text,
+    )
+
+    pages = G.load_pages(spark, 500)
+    two_stage = geoparse_points(
+        pages_with_text(pages), text_col="extracted_text"
+    )
+    fused = geoparse_points_from_html(pages)
+    a = sorted(tuple(r) for r in two_stage.collect())
+    b = sorted(tuple(r) for r in fused.collect())
+    assert a == b and len(a) > 0

@@ -64,8 +64,40 @@ _PIP_HAVING = """SUM(CASE WHEN (e.ay > {lat}) <> (e.by > {lat})
          ELSE 0 END) % 2 = 1"""
 
 
+def _epoch_sec(col: str):
+    """Floored epoch seconds from a TIMESTAMP_NTZ column, computed from
+    wall-clock fields — independent of the session timezone (NTZ can't
+    cast to double, and unix_timestamp would apply the session tz).
+    Equals DuckDB's floor(epoch(ts)) on the same naive parquet value."""
+    return (
+        F.unix_date(F.col(col).cast("date")).cast("long") * 86400
+        + F.hour(col).cast("long") * 3600
+        + F.minute(col).cast("long") * 60
+        + F.second(col).cast("long")
+    )
+
+
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.load_pages(spark, _counts(sf_dir)["docs"])
+    """The Common-Crawl-style pages table (BASELINE.json input_hint).
+
+    Default: generated inline (deterministic datagen — what the DuckDB
+    oracle regenerates too). If SPARK_GRAFT_PAGES_CACHE names a
+    directory (bench.py sets it), the generated table is materialized
+    to parquet once and read back — benchmarking then measures the
+    engine reading a stored table, exactly as production reads Iceberg,
+    instead of re-running the synthetic SQL generator per query.
+    """
+    import os
+
+    n = _counts(sf_dir)["docs"]
+    cache = os.environ.get("SPARK_GRAFT_PAGES_CACHE")
+    if cache:
+        path = os.path.join(cache, f"pages_{n}.parquet")
+        if not os.path.exists(path):
+            os.makedirs(cache, exist_ok=True)
+            G.load_pages(spark, n).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    return G.load_pages(spark, n)
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,6 +444,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("user_id", "event_id", "rn")
         )
 
+    def tpch_q6_q(spark, sf_dir):
+        # Classic filter->agg (TPC-H Q6 shape): every predicate is a
+        # native comparison that Catalyst pushes into the parquet scan.
+        # Ship-date bounds compare epoch seconds (tz-independent in
+        # both engines): 1996-01-01/1998-01-01 UTC.
+        li = _pq(spark, sf_dir, "lineitem")
+        sec = _epoch_sec("l_shipdate")
+        return li.filter(
+            (sec >= 820454400)
+            & (sec < 883612800)
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        ).agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * F.col("l_discount") * 100
+                ).cast("long")
+            ).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    def tpch_q3_q(spark, sf_dir):
+        # 3-way join + agg + deterministic top-10 (TPC-H Q3 shape).
+        # customer is a broadcast dimension; orders<->lineitem is the
+        # shuffle join AQE plans (sort-merge or shuffled-hash by stats).
+        c = _pq(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        o = _pq(spark, sf_dir, "orders")
+        li = _pq(spark, sf_dir, "lineitem")
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("l_orderkey")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                        * 100
+                    ).cast("long")
+                ).alias("revenue_c"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+            .limit(10)
+        )
+
+    def events_sessionize_q(spark, sf_dir):
+        # Analytic-window sessionization: lag gap -> session boundary
+        # flag -> running sum = session id -> per-session aggregates.
+        # Both window ops share one (user_id, ts) spec => ONE shuffle.
+        from pyspark.sql import Window
+
+        ev = _pq(spark, sf_dir, "events")
+        sec = _epoch_sec("ts")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = sec - F.lag(sec).over(w)
+        return (
+            ev.withColumn(
+                "new_sess",
+                F.when(gap.isNull() | (gap > 21600), F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+            )
+            .withColumn("session_id", F.sum("new_sess").over(w))
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min(sec).alias("start_epoch"),
+                F.max(sec).alias("end_epoch"),
+            )
+        )
+
+    def orders_rollup_q(spark, sf_dir):
+        # Grouping-sets rollup (SURVEY §2.4: absent in the reference,
+        # free in Spark): (status, priority) -> status -> grand total,
+        # one pass, map-side partial aggregation per grouping set.
+        o = _pq(spark, sf_dir, "orders")
+        return (
+            o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("revenue_c"),
+            )
+            .select(
+                F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("(all)")).alias(
+                    "priority"
+                ),
+                "n_orders",
+                "revenue_c",
+            )
+        )
+
     def ecef_enu_q(spark, sf_dir):
         # C3/C4 (src/coords.jl): geodetic -> ECEF -> local ENU at the
         # Frogner corner, all native column math; outputs rounded to cm
@@ -522,8 +652,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": frame_sample_q,
         "tag_update": tag_update_q,
         "tpch_q1": tpch_q1_q,
+        "tpch_q3": tpch_q3_q,
+        "tpch_q6": tpch_q6_q,
         "orders_by_segment": orders_by_segment_q,
+        "orders_rollup": orders_rollup_q,
         "events_top3": events_top3_q,
+        "events_sessionize": events_sessionize_q,
         "geojson_features": geojson_q,
         "multimodal_features": multimodal_q,
         "osm_xml_parse": osm_xml_q,
@@ -806,6 +940,57 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus"""
        sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
+
+    out["tpch_q6"] = """SELECT
+       sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+         AS revenue_c,
+       count(*) AS n_rows
+FROM lineitem
+WHERE epoch(l_shipdate) >= 820454400 AND epoch(l_shipdate) < 883612800
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+    out["tpch_q3"] = """SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+           AS BIGINT)) AS revenue_c,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue_c DESC, l_orderkey ASC
+LIMIT 10"""
+
+    out["orders_rollup"] = """SELECT
+       COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
+    out["events_sessionize"] = """WITH s AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(floor(epoch(ts)) AS BIGINT) - lag(
+           CAST(floor(epoch(ts)) AS BIGINT)
+         ) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+n AS (
+  SELECT user_id, event_id, ts, sec,
+         CASE WHEN gap IS NULL OR gap > 21600 THEN 1 ELSE 0 END AS new_sess
+  FROM s
+),
+sess AS (
+  SELECT user_id, sec,
+         CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS BIGINT) AS session_id
+  FROM n
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(sec) AS start_epoch, max(sec) AS end_epoch
+FROM sess GROUP BY user_id, session_id"""
 
     out["events_top3"] = """WITH r AS (
   SELECT user_id, event_id,

@@ -1,0 +1,141 @@
+"""Physical-plan regression tests — pin the scale-critical plan shapes.
+
+Correctness tests prove the operators compute the right rows; these
+prove Catalyst plans them the way a 100 TB / 1000-executor run needs:
+column pruning at the scan, broadcast (not shuffle) dimension joins,
+pandas UDFs only where declared, and no surplus exchanges. If a
+refactor silently turns the cover join into a sort-merge join or drags
+the html binary column through the geoparse scan, these fail before the
+benchmark does.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def explain(df, mode: str = "formatted") -> str:
+    jqe = df._jdf.queryExecution()
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return jqe.explainString(jmode)
+
+
+def count_nodes(plan: str, name: str) -> int:
+    """Count physical-plan NODES of a given operator. Formatted explain
+    prints every node twice (tree + detail section); the detail header
+    '(N) OperatorName' appears exactly once per node."""
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from osm_jl_spark import datagen as G
+
+    p = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    G.load_pages(spark, 500).write.parquet(p)
+    return p
+
+
+def test_flagship_scan_prunes_html(spark, pages_parquet):
+    """The pages scan must read only (url, text) — html is the bulk of
+    the bytes at production scale and this query never needs it."""
+    from osm_jl_spark import datagen as G
+    from osm_jl_spark.operators.pipeline import flagship
+
+    plan = explain(flagship(spark.read.parquet(pages_parquet), G.POLYGONS, 2))
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "html" not in s, s
+        assert "warc_ts" not in s, s
+    # flagship aggregates counts only -> Catalyst prunes even `url`;
+    # the scan reads just the text column
+    assert "text" in schemas[0]
+
+
+def test_flagship_cover_join_broadcasts(spark, pages_parquet):
+    """The polygon cell cover is a dimension table: it must broadcast.
+    A SortMergeJoin here would shuffle the full fact table."""
+    from osm_jl_spark import datagen as G
+    from osm_jl_spark.operators.pipeline import flagship
+
+    plan = explain(flagship(spark.read.parquet(pages_parquet), G.POLYGONS, 2))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_single_python_operator(spark, pages_parquet):
+    """Exactly ONE Arrow/pandas evaluation (geoparse) plus the exact-PIP
+    UDF — everything else stays JVM-side in whole-stage codegen."""
+    from osm_jl_spark import datagen as G
+    from osm_jl_spark.operators.pipeline import flagship
+
+    plan = explain(flagship(spark.read.parquet(pages_parquet), G.POLYGONS, 2))
+    assert count_nodes(plan, "ArrowEvalPython") == 2, plan  # geoparse + PIP
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python, ever
+    # whole-stage codegen active: AQE only finalizes the plan on
+    # execution, so run it and check the executed plan's '*(n)' marks
+    fl = flagship(spark.read.parquet(pages_parquet), G.POLYGONS, 2)
+    fl.collect()  # count() would be a different query execution
+    executed = fl._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed, executed
+    assert "*(" in executed, executed
+
+
+def test_bbox_is_pure_filter_no_shuffle(spark):
+    """J6 bbox = native range filter on cell columns: no join, no
+    exchange, no Python. On a cell-clustered production table this is
+    partition pruning + row-group skipping."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["bbox_vitoria_nodes"](spark, SF)
+    plan = explain(df)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q3_broadcasts_dimension_and_pushes_filters(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_q3"](spark, "/root/testdata/sf0.01")
+    plan = explain(df)
+    assert "BroadcastHashJoin" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("BUILDING" in p for p in pushed), pushed
+
+
+def test_sessionize_single_exchange(spark):
+    """lag + running-sum windows and the final groupBy all cluster by
+    user_id — Catalyst must plan exactly ONE shuffle (hash partition on
+    user_id satisfies the (user_id, session_id) aggregation too)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["events_sessionize"](spark, SF)
+    plan = explain(df)
+    # one hashpartitioning(user_id) exchange feeds BOTH windows and the
+    # final (user_id, session_id) aggregate — hash on user_id satisfies
+    # the clustered distribution of the superset key
+    assert count_nodes(plan, "Exchange") == 1, plan
+
+
+def test_pip_no_fact_shuffle(spark):
+    """nodes_in_polygons: the point side must reach the exact-PIP filter
+    with ZERO exchanges — prefilter is a broadcast join."""
+    from osm_jl_spark import datagen as G
+    from osm_jl_spark.operators.joins import nodes_in_polygons
+
+    pts = G.load_nodes(spark, 2000).select(
+        "id", "lon", "lat"
+    )
+    plan = explain(nodes_in_polygons(pts, G.POLYGONS, 2))
+    # '(N) Exchange' does not match BroadcastExchange detail headers
+    assert count_nodes(plan, "Exchange") == 0, plan
+    assert "BroadcastHashJoin" in plan

@@ -65,16 +65,11 @@ _PIP_HAVING = """SUM(CASE WHEN (e.ay > {lat}) <> (e.by > {lat})
 
 
 def _epoch_sec(col: str):
-    """Floored epoch seconds from a TIMESTAMP_NTZ column, computed from
-    wall-clock fields — independent of the session timezone (NTZ can't
-    cast to double, and unix_timestamp would apply the session tz).
-    Equals DuckDB's floor(epoch(ts)) on the same naive parquet value."""
-    return (
-        F.unix_date(F.col(col).cast("date")).cast("long") * 86400
-        + F.hour(col).cast("long") * 3600
-        + F.minute(col).cast("long") * 60
-        + F.second(col).cast("long")
-    )
+    """Timezone-independent floored epoch seconds (see
+    osm_jl_spark.functions.timeutil.epoch_sec)."""
+    from osm_jl_spark.functions.timeutil import epoch_sec
+
+    return epoch_sec(col)
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:

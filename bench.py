@@ -12,15 +12,23 @@ Methodology notes (why the scaling numbers are trustworthy):
   a production run reads Iceberg — benchmarking the engine, not the
   synthetic SQL generator (whose group-by shuffle is the dominant cost
   at small scale and does not exist in deployment).
-- Levels are 2 and 8 cores ("N and 4N cores" per the scaling criterion;
-  this sandbox is one machine, so parallelism stands in for executors).
-  The host gives this VM 32 vCPUs with noisy neighbors; 2->8 stays
-  within the stable-core budget (raw JVM thread scaling measured 4.06x
-  over the same ratio) so Spark's own scaling is what gets measured.
+- Levels are 2 and 8 cores ("N and 4N cores" per the scaling
+  criterion; this sandbox is one machine, so parallelism stands in for
+  executors). Each level is CPU-PINNED with taskset: local[N] alone
+  only caps task slots, while GC/shuffle threads and the pandas-UDF
+  Python workers run beyond them — an unpinned local[2] burns ~3-4
+  cores, overstating low-level throughput. A cluster executor is
+  cgroup-bounded; pinning reproduces that boundary.
 - Each level runs 1 warmup (spawns Python workers, JITs codegen) then
-  timed runs; each level runs TWICE interleaved (lo,hi,lo,hi) and the
-  MIN per level is reported — the standard noise-robust estimator for
-  throughput on a shared host.
+  2 timed runs; the (lo,hi) pair is run in 3 interleaved sessions and
+  the MIN per level is reported — the standard noise-robust estimator
+  on a shared host.
+- A MACHINE-CAPACITY CONTROL runs adjacent to every session pair:
+  plain CPU-bound worker processes, pinned the same way, measure what
+  lo->hi speedup the box actually offers right now (noisy neighbors on
+  the hypervisor can take it well under hi/lo). The report carries
+  both `efficiency` (vs the ideal 4x) and `efficiency_vs_ceiling`
+  (vs the measured ceiling — the honest number on a shared host).
 
 Prints ONE JSON line:
   {"metric": "flagship_e2e_sec", "value": <sec>, "unit": "sec",
@@ -61,6 +69,47 @@ BENCH_QUERIES = [
     "tpch_q1",
     "events_top3",
 ]
+
+
+def _cpu_work(n: int) -> int:
+    """Fixed CPU-bound work unit for the machine-capacity control."""
+    x = 1
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return x
+
+
+def _pin_to(cpus: frozenset) -> None:
+    try:
+        os.sched_setaffinity(0, cpus)
+    except (AttributeError, OSError):
+        pass
+
+
+def cpu_ceiling_speedup(lo: int, hi: int, iters: int = 60_000_000) -> float:
+    """Measure the MACHINE's throughput scaling from lo to hi worker
+    processes (each doing identical fixed work), at this moment.
+
+    On a quiet host this returns ~hi/lo. On a host with noisy
+    neighbors the hi-level runs get fewer than hi real cores and the
+    ceiling drops — the same squeeze hits the Spark scaling runs, so
+    reporting spark_speedup / ceiling_speedup separates the engine's
+    scalability from the hypervisor's weather. Interleaved min-of-2
+    per level, like the Spark runs.
+    """
+    import multiprocessing as mp
+
+    times: dict[int, float] = {}
+    for p in (lo, hi, lo, hi):
+        # pinned to cpus 0..p-1, mirroring the taskset boundary the
+        # Spark scaling runs get
+        t0 = time.time()
+        with mp.Pool(p, initializer=_pin_to,
+                     initargs=(frozenset(range(p)),)) as pool:
+            pool.map(_cpu_work, [iters] * p)
+        dt = time.time() - t0
+        times[p] = min(times.get(p, float("inf")), dt)
+    return (hi / times[hi]) / (lo / times[lo])
 
 
 def _force(df) -> int:
@@ -161,18 +210,32 @@ def main() -> None:
     # than biasing one.
     scaling = {}
     lo_cores, hi_cores = 2, 8
-    for cores in (lo_cores, hi_cores) * 3:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-run",
-             str(cores), scale_path],
-            capture_output=True, text=True, timeout=1800,
-        )
-        for line in out.stdout.splitlines():
-            if line.startswith("SCALING"):
-                _, c, dt, nd = line.split()
-                prev = scaling.get(int(c))
-                if prev is None or float(dt) < prev[0]:
-                    scaling[int(c)] = (float(dt), int(nd))
+    ceilings: list[float] = []
+    for rnd in range(3):
+        # machine-capacity control adjacent to each Spark pair: what
+        # lo->hi speedup do plain CPU-bound processes get RIGHT NOW?
+        ceilings.append(cpu_ceiling_speedup(lo_cores, hi_cores))
+        for cores in (lo_cores, hi_cores):
+            # CPU-PIN the whole process tree to exactly `cores` CPUs.
+            # local[N] alone only limits TASK SLOTS: the JVM's GC and
+            # shuffle threads plus the pandas-UDF Python workers run
+            # beyond them, so an unpinned local[2] consumes ~3-4 cores
+            # — inflating low-level throughput and understating scaling
+            # efficiency. A real cluster executor is cgroup-bounded;
+            # taskset reproduces that boundary.
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--scaling-run", str(cores), scale_path]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("SCALING"):
+                    _, c, dt, nd = line.split()
+                    prev = scaling.get(int(c))
+                    if prev is None or float(dt) < prev[0]:
+                        scaling[int(c)] = (float(dt), int(nd))
     result = {
         "metric": "flagship_e2e_sec",
         "value": round(flagship_sec, 3),
@@ -189,6 +252,8 @@ def main() -> None:
         t_hi, _ = scaling[hi_cores]
         thr_lo = nd / t_lo
         thr_hi = nd / t_hi
+        speedup = thr_hi / thr_lo
+        ceiling = max(ceilings) if ceilings else float(hi_cores / lo_cores)
         result["scaling"] = {
             "cores_lo": lo_cores,
             "cores_hi": hi_cores,
@@ -197,8 +262,15 @@ def main() -> None:
             "sec_hi": round(t_hi, 3),
             "docs_per_sec_lo": round(thr_lo, 1),
             "docs_per_sec_hi": round(thr_hi, 1),
-            "efficiency": round(thr_hi / (thr_lo * (hi_cores / lo_cores)), 3),
-            "speedup": round(thr_hi / thr_lo, 2),
+            "efficiency": round(speedup / (hi_cores / lo_cores), 3),
+            "speedup": round(speedup, 2),
+            # machine-capacity control: lo->hi speedup of plain
+            # CPU-bound worker processes measured alongside the Spark
+            # runs (best of 3 interleaved probes). efficiency_vs_ceiling
+            # = how much of the ACTUALLY AVAILABLE scaling Spark
+            # captured — the honest number on a shared host.
+            "cpu_ceiling_speedup": round(ceiling, 2),
+            "efficiency_vs_ceiling": round(min(speedup / ceiling, 1.0), 3),
         }
     print(json.dumps(result))
 

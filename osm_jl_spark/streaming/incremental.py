@@ -9,9 +9,14 @@ parity requirement. Two pieces:
   by event time with a watermark, grouped by cell) — the shape a live
   crawl-ingest deployment would run; exercised in tests with the
   rate/memory sinks at tiny scale.
-- ``incremental_tile_counts``: checkpointed incremental BATCH — the
-  form the north rule's resumability actually requires (works with the
-  plans.manifest module; each micro-batch is a manifest unit).
+- ``streaming_sessionize``: a CUSTOM stateful operator
+  (applyInPandasWithState) — per-user session tracking whose gap rule
+  no built-in windowed aggregation expresses; converges to the batch
+  ``events_sessionize`` answer when events arrive in time order.
+- Checkpointed incremental BATCH — the form the north rule's
+  resumability actually requires — lives in plans/manifest.py
+  (``run_with_manifest``: unit-sliced pipeline, idempotent overwrite,
+  lineage records).
 """
 
 from __future__ import annotations
@@ -20,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm_jl_spark.functions.cells import cell_coord
+from osm_jl_spark.functions.timeutil import epoch_sec
 
 
 def streaming_tile_counts(
@@ -49,4 +55,81 @@ def streaming_tile_counts(
             "cy",
             "n_points",
         )
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_sec: int = 21600,
+    ts: str = "ts",
+    user: str = "user_id",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    an inactivity-gap rule, via ``applyInPandasWithState``.
+
+    State per user = the OPEN session (session_id, n_events,
+    start_epoch, end_epoch). Each micro-batch folds its (sorted) new
+    events into the open session, emits every session it closed plus
+    the updated open one — so in update mode the sink's latest row per
+    (user_id, session_id) is that session's current truth, and once a
+    later session appears the earlier ones are final.
+
+    Equivalence to batch: if events arrive in event-time order per user
+    (micro-batch boundaries anywhere), the union of latest emissions
+    equals the batch ``events_sessionize`` query exactly — pinned by
+    tests/test_streaming_sessionize.py. Out-of-order arrivals within a
+    single micro-batch are handled (the batch is sorted before the
+    fold); arrivals older than the open session's end are clamped, the
+    documented limitation of gap sessionization over an unbounded
+    stream (a watermark-delayed buffer would trade latency for
+    reordering tolerance).
+
+    The per-group Python runs over Arrow-batched pandas frames (one
+    small frame per user per micro-batch) — there is no per-row Python
+    in the hot path; rows reach the operator pre-shuffled by user_id.
+    """
+    import pandas as pd  # noqa: PLC0415 (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = ["user_id", "session_id", "n_events", "start_epoch",
+                "end_epoch"]
+
+    def fold(key, pdf_iter, state: GroupState):
+        secs: list[int] = []
+        for pdf in pdf_iter:
+            secs.extend(int(s) for s in pdf["sec"])
+        secs.sort()
+        if state.exists:
+            sid, n, start, end = state.get
+        else:
+            sid, n, start, end = 0, 0, 0, 0
+        closed = []
+        for s in secs:
+            if n == 0:
+                sid, n, start, end = sid + 1, 1, s, s
+            elif s - end > gap_sec:
+                closed.append((key[0], sid, n, start, end))
+                sid, n, start, end = sid + 1, 1, s, s
+            else:
+                n += 1
+                end = max(end, s)  # clamp out-of-order stragglers
+        state.update((sid, n, start, end))
+        if n > 0:
+            closed.append((key[0], sid, n, start, end))
+        if closed:
+            yield pd.DataFrame(closed, columns=out_cols)
+
+    with_sec = stream.withColumn("sec", epoch_sec(ts))
+    return with_sec.groupBy(user).applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id BIGINT, session_id BIGINT, n_events BIGINT, "
+            "start_epoch BIGINT, end_epoch BIGINT"
+        ),
+        stateStructType=(
+            "session_id BIGINT, n_events BIGINT, start_epoch BIGINT, "
+            "end_epoch BIGINT"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -230,6 +230,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ways.select("id")
 
+    def bbox_store_q(spark, sf_dir):
+        # J6 over the cell-clustered STORE (sources/store.py): the same
+        # Vitória bbox, but served by directory-level partition pruning
+        # + parquet row-group skipping instead of a full scan — the
+        # physical layout the 100 TB deployment uses. Store is
+        # materialized once per scale under the system temp dir.
+        import os
+        import tempfile
+
+        from osm_jl_spark.sources.store import (
+            read_points_bbox,
+            write_points_clustered,
+        )
+
+        n = _counts(sf_dir)["nodes"]
+        path = os.path.join(tempfile.gettempdir(), f"osm_store_nodes_{n}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            write_points_clustered(
+                _nodes(spark, sf_dir).select("id", "lon", "lat"),
+                path,
+                PRECISION,
+            )
+        return read_points_bbox(
+            spark, path, G.VITORIA_UL, G.VITORIA_LR, PRECISION
+        ).select("id", "lon", "lat")
+
     def nodes_highways_q(spark, sf_dir):
         n = _nodes(spark, sf_dir)
         return n.filter(E.hastag(E.HIGHWAY)).select(
@@ -618,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": tile_rollup_q,
         "raster_vector": raster_vector_q,
         "bbox_vitoria_nodes": bbox_nodes_q,
+        "bbox_store_nodes": bbox_store_q,
         "bbox_vitoria_ways": bbox_ways_q,
         "nodes_highways": nodes_highways_q,
         "ways_buildings": ways_buildings_q,
@@ -733,6 +760,10 @@ FROM t WHERE n_points >= 2"""
 SELECT id, lon, lat FROM nodes
 WHERE CAST(trunc(lon * 100) AS BIGINT) BETWEEN {xlo} AND {xhi}
   AND CAST(trunc(lat * 100) AS BIGINT) BETWEEN {ylo} AND {yhi}"""
+
+    # same rows, served via the cell-clustered store (layout changes,
+    # semantics must not)
+    out["bbox_store_nodes"] = out["bbox_vitoria_nodes"]
 
     out["bbox_vitoria_ways"] = f"""WITH {nodes}, {ways}
 SELECT DISTINCT wr.id FROM ways_refs wr

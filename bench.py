@@ -128,9 +128,18 @@ def _flagship_from_parquet(spark, path):
 def scaling_run(cores: int, path: str) -> None:
     from osm_jl_spark.session import get_spark
 
+    # 32 MB input splits: at the design point (10^12 docs) splits
+    # outnumber cores by orders of magnitude, so every level runs many
+    # waves and stragglers amortize. The sandbox's 8M-doc file would
+    # bin into ~8 x 128MB splits — a SINGLE wave at the hi level, where
+    # one slow task extends the whole run and fakes poor scaling.
+    # Finer splits restore the deployment's parallelism structure
+    # (identical config at both levels).
     spark = get_spark(app=f"bench-scale-{cores}", cores=cores,
                       shuffle_partitions=max(8, cores),
-                      driver_memory="16g")
+                      driver_memory="16g",
+                      extra={"spark.sql.files.maxPartitionBytes":
+                             str(32 * 1024 * 1024)})
     n_docs = spark.read.parquet(path).count()
     # warmup at the SAME scale: spawns all Python workers, JITs the
     # codegen, touches every operator — so the timed runs measure the

@@ -1,0 +1,81 @@
+"""Storage layer: canonical pages reader and the cell-clustered points
+store whose directory layout makes bbox queries partition-pruned scans
+(the physical form of the reference's index-slice query,
+src/OSM.jl:246-257 / src/index.jl:74-87)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_jl_spark import datagen as G
+from osm_jl_spark.functions.cells import bbox_filter, with_cell
+from osm_jl_spark.sources.store import (
+    read_pages,
+    read_points_bbox,
+    write_points_clustered,
+)
+
+def explain(df, mode: str = "formatted") -> str:
+    jqe = df._jdf.queryExecution()
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return jqe.explainString(jmode)
+
+
+def count_nodes(plan: str, name: str) -> int:
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "points")
+    nodes = G.load_nodes(spark, 4000).select("id", "lon", "lat")
+    write_points_clustered(nodes, path, precision=2)
+    return path
+
+
+def test_read_pages_parquet_and_schema_guard(spark, tmp_path):
+    p = str(tmp_path / "pages.parquet")
+    G.load_pages(spark, 200).write.parquet(p)
+    df = read_pages(spark, p)
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.count() == 200
+
+    bad = str(tmp_path / "bad.parquet")
+    G.load_pages(spark, 10).drop("html").write.parquet(bad)
+    with pytest.raises(ValueError, match="html"):
+        read_pages(spark, bad)
+
+
+def test_clustered_bbox_matches_unclustered(spark, clustered):
+    got = {
+        r["id"]
+        for r in read_points_bbox(
+            spark, clustered, G.VITORIA_UL, G.VITORIA_LR, 2
+        ).collect()
+    }
+    nodes = with_cell(G.load_nodes(spark, 4000).select("id", "lon", "lat"), 2)
+    want = {
+        r["id"]
+        for r in bbox_filter(nodes, G.VITORIA_UL, G.VITORIA_LR, 2).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # fixture actually selects rows
+
+
+def test_clustered_bbox_prunes_partitions(spark, clustered):
+    """The bbox plan must show directory-level pruning on the stripe
+    column AND pushed cell filters — and stay shuffle/Python-free."""
+    plan = explain(
+        read_points_bbox(spark, clustered, G.VITORIA_UL, G.VITORIA_LR, 2)
+    )
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cx_stripe" in p for p in pf), plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("cx" in p and "cy" in p for p in pushed), plan
+    assert count_nodes(plan, "Exchange") == 0
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

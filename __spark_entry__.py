@@ -393,6 +393,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
         )
 
+    def ivf_knn_exhaustive_q(spark, sf_dir):
+        # IVF probing EVERY bucket (nprobe == n_centroids) must equal
+        # brute force exactly — the index's no-loss invariant: the
+        # bucket structure prunes candidates, never changes scores or
+        # ranking. Oracle = the same SQL as embedding_knn.
+        emb = _pq(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        assigned, cents = S.build_ivf(emb, n_centroids=8)
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        return S.ivf_topk(
+            assigned, cents, q, k=5, nprobe=8, rank_round=4
+        ).select(
+            "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
+        )
+
     def text_quality_q(spark, sf_dir):
         docs = _pq(spark, sf_dir, "documents")
         return docs.select(
@@ -666,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": embedding_knn_q,
         "embedding_near_dups": embedding_near_dups_q,
         "ivf_knn": ivf_knn_q,
+        "ivf_knn_exhaustive": ivf_knn_exhaustive_q,
         "text_quality": text_quality_q,
         "token_count_by_lang": token_count_by_lang_q,
         "lang_id": lang_id_q,
@@ -897,6 +917,9 @@ r AS (
   FROM s
 )
 SELECT query_id, neighbor_id, knn_rank FROM r WHERE knn_rank <= 5"""
+
+    # IVF probing every bucket == brute force (no-loss invariant)
+    out["ivf_knn_exhaustive"] = out["embedding_knn"]
 
     from osm_jl_spark.functions.text import LANG_LEXICON, STOPWORDS
 

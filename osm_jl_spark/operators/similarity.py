@@ -122,10 +122,16 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k probing only the nprobe nearest
     centroid buckets per query. Join is (bucket == query_probe_bucket)
-    — on a bucket-partitioned corpus this prunes to nprobe/C of data."""
+    — on a bucket-partitioned corpus this prunes to nprobe/C of data.
+
+    With ``nprobe == n_centroids`` every bucket is probed and the
+    result is EXACTLY the brute-force answer (bucketing prunes, never
+    rescores) — the no-loss invariant the oracle checks.
+    ``rank_round`` as in cosine_topk (cross-engine tie stability)."""
     probes_rows = []
     import math as _m
 
@@ -149,8 +155,12 @@ def ivf_topk(
     cos = _dot(F.col(vec_col), F.col("qv")) / (
         _norm(F.col(vec_col)) * _norm(F.col("qv"))
     )
+    rank_key = (
+        F.round(F.col("cosine"), rank_round) if rank_round is not None
+        else F.col("cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+        rank_key.desc(), F.col("neighbor_id").asc()
     )
     return (
         cand.withColumn("cosine", cos)

@@ -57,6 +57,11 @@ AUDITED = [
      "bucket key only; signatures computed in native zip_with fold"),
     ("dedup_exact_keep", "hash-groupBy dedup: single shuffle on the "
      "content hash, map-side partial aggregation"),
+    ("orders_rollup", "grouping-sets rollup in one pass with map-side "
+     "partial aggregation per grouping set"),
+    ("bbox_store_nodes", "cell-clustered store: PartitionFilters on the "
+     "lon-cell stripe (directory pruning) + PushedFilters on (cx, cy) "
+     "(row-group skipping); zero shuffle, zero Python"),
 ]
 
 

@@ -45,7 +45,10 @@ def pip_mask(lon: np.ndarray, lat: np.ndarray, ring: Ring) -> np.ndarray:
     lon = np.asarray(lon, dtype=np.float64)[:, None]  # (N,1)
     lat = np.asarray(lat, dtype=np.float64)[:, None]
     crosses = (ay[None, :] > lat) != (by[None, :] > lat)  # (N,V)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # divide/overflow/invalid all arise only on non-crossing edges
+    # (by == ay or subnormal spans), where `crosses` masks the result —
+    # Julia's short-circuit && never evaluates them (src/coords.jl:74)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         x = ax[None, :] + (lat - ay[None, :]) / (by[None, :] - ay[None, :]) * (
             bx[None, :] - ax[None, :]
         )

@@ -81,6 +81,51 @@ def geoparse_udf(text: pd.Series) -> pd.Series:
     return text.map(parse)
 
 
+# ------------------------------------- native ingest (no Python at all)
+
+GEO_PATTERN = r"lat (-?\d+\.\d{5}) lon (-?\d+\.\d{5})"
+
+
+def extract_text_col(html: Column | str) -> Column:
+    """NATIVE text extraction — byte-identical to oracle.extract_text.
+
+    Same three steps as the oracle (tag-strip, whitespace-collapse,
+    strip), decoded first since Spark regexps operate on strings; for
+    valid UTF-8 the results coincide byte-for-byte because both tag and
+    whitespace patterns are pure-ASCII (Java \\s and Python bytes-mode
+    \\s are the same ASCII class). Pinned against the stored ``text``
+    column and the pandas-UDF path by tests/test_text.py.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    s = F.decode(c, "UTF-8")
+    no_tags = F.regexp_replace(s, "<[^>]*>", " ")
+    collapsed = F.regexp_replace(no_tags, r"\s+", " ")
+    return F.regexp_replace(collapsed, "^ +| +$", "")
+
+
+def geoparse_col(text: Column | str) -> Column:
+    """NATIVE geoparse: array<struct<pt_idx,lon,lat>> — the same result
+    as geoparse_udf with zero Python.
+
+    One regexp pass (full-match extract_all), then an in-array split:
+    match shape is ``lat <g1> lon <g2>`` so token 1 is lat, token 3 is
+    lon. String->double casts are correctly-rounded in both JVM and
+    CPython, so values are bit-identical to the oracle's float().
+    At 10^12 docs this keeps the widest column (text) out of the
+    JVM<->Python Arrow channel entirely.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    ms = F.regexp_extract_all(c, F.lit(GEO_PATTERN), F.lit(0))
+    return F.transform(
+        ms,
+        lambda m, i: F.struct(
+            i.cast("int").alias("pt_idx"),
+            F.split(m, " ").getItem(3).cast("double").alias("lon"),
+            F.split(m, " ").getItem(1).cast("double").alias("lat"),
+        ),
+    )
+
+
 # ------------------------------------------------- native text analysis
 
 STOPWORDS = [

@@ -72,13 +72,14 @@ def test_flagship_cover_join_broadcasts(spark, pages_parquet):
 
 
 def test_flagship_single_python_operator(spark, pages_parquet):
-    """Exactly ONE Arrow/pandas evaluation (geoparse) plus the exact-PIP
-    UDF — everything else stays JVM-side in whole-stage codegen."""
+    """Exactly ONE Arrow/pandas evaluation (the exact-PIP test) —
+    geoparse is JVM-native (regexp_extract_all), so everything up to
+    the boundary-cell PIP check stays in whole-stage codegen."""
     from osm_jl_spark import datagen as G
     from osm_jl_spark.operators.pipeline import flagship
 
     plan = explain(flagship(spark.read.parquet(pages_parquet), G.POLYGONS, 2))
-    assert count_nodes(plan, "ArrowEvalPython") == 2, plan  # geoparse + PIP
+    assert count_nodes(plan, "ArrowEvalPython") == 1, plan  # exact PIP only
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python, ever
     # whole-stage codegen active: AQE only finalizes the plan on
     # execution, so run it and check the executed plan's '*(n)' marks

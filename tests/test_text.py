@@ -72,6 +72,29 @@ def test_lang_id_and_quality_cols(spark):
     assert rows[0]["bt"] >= rows[0]["nt"]
 
 
+def test_native_kernels_match_udf_kernels(spark):
+    """The JVM-native geoparse/extract kernels must emit exactly the
+    rows of the Arrow/pandas reference kernels (which in turn are
+    pinned byte-identical to the single-node oracle)."""
+    from osm_jl_spark.datagen import load_pages
+    from osm_jl_spark.operators.pipeline import (
+        geoparse_points,
+        geoparse_points_from_html,
+        geoparse_points_from_html_udf,
+        geoparse_points_udf,
+    )
+
+    pages = load_pages(spark, 500)
+    a = sorted(tuple(r) for r in geoparse_points(pages).collect())
+    b = sorted(tuple(r) for r in geoparse_points_udf(pages).collect())
+    assert a == b and len(a) > 100
+    c = sorted(tuple(r) for r in geoparse_points_from_html(pages).collect())
+    d = sorted(
+        tuple(r) for r in geoparse_points_from_html_udf(pages).collect()
+    )
+    assert c == d == a
+
+
 def test_fused_geoparse_html_matches_two_stage(spark):
     from osm_jl_spark import datagen as G
     from osm_jl_spark.operators.pipeline import (

@@ -137,6 +137,58 @@ def pip_test_or_full_udf(polygons: dict[int, Ring]):
     return _pip
 
 
+def pip_ring_expr(ring: Ring, lon, lat):
+    """NATIVE even-odd test for one ring: the crossing count as an
+    ``F.aggregate`` fold over a LITERAL edge array — same strict
+    comparisons and edge order as src/coords.jl:69-78, all inside
+    whole-stage codegen.
+
+    The ray-intersection x is computed only inside the crossing branch
+    (CASE WHEN evaluates lazily), mirroring Julia's short-circuit
+    ``&&``; when the branch IS taken, ay != by so the double division
+    is finite. Bit-parity with pip_mask/the oracle port is pinned by
+    tests (same IEEE ops, same order).
+    """
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(float(ax)).alias("ax"),
+                F.lit(float(ay)).alias("ay"),
+                F.lit(float(bx)).alias("bx"),
+                F.lit(float(by)).alias("by"),
+            )
+            for ax, ay, bx, by in zip(*(a.tolist() for a in _ring_arrays(ring)))
+        ]
+    )
+
+    def step(acc, e):
+        crosses = (e["ay"] > lat) != (e["by"] > lat)
+        x = e["ax"] + (lat - e["ay"]) / (e["by"] - e["ay"]) * (
+            e["bx"] - e["ax"]
+        )
+        return acc + F.when(crosses & (x < lon), 1).otherwise(0)
+
+    return F.aggregate(edges, F.lit(0), step) % 2 == 1
+
+
+def pip_test_or_full_expr(polygons: dict[int, Ring], lon, lat, pid, is_full):
+    """NATIVE single-pass cover-join test: FULL cells short-circuit to
+    true, boundary cells run the per-polygon even-odd fold (dispatched
+    by a CASE over the small polygon set). Replaces
+    pip_test_or_full_udf in the default plan — the whole spatial join
+    is then Python-free; the UDF stays as the parity reference and the
+    path for polygon sets too large to inline as literals.
+    """
+    branch = None
+    for p, ring in sorted(polygons.items()):
+        inside = pip_ring_expr(ring, lon, lat)
+        cond = pid == F.lit(p)
+        branch = (
+            F.when(cond, inside) if branch is None else branch.when(cond, inside)
+        )
+    return is_full | F.coalesce(branch, F.lit(False))
+
+
 # ------------------------------------------------------------ cell cover
 
 

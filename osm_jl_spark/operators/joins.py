@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm_jl_spark.functions.cells import bbox_cell_range, with_cell
-from osm_jl_spark.functions.geo import Ring, cell_cover, pip_test_or_full_udf
+from osm_jl_spark.functions.geo import (
+    Ring,
+    cell_cover,
+    pip_test_or_full_expr,
+    pip_test_or_full_udf,
+)
 
 
 def explode_way_refs(ways: DataFrame) -> DataFrame:
@@ -87,6 +92,7 @@ def nodes_in_polygons(
     precision: int = 2,
     lon: str = "lon",
     lat: str = "lat",
+    exact: str = "native",
 ) -> DataFrame:
     """J3 (src/OSM.jl:210-218) as a scalable spatial join.
 
@@ -115,13 +121,23 @@ def nodes_in_polygons(
         (pts.cx == cover.ccx) & (pts.cy == cover.ccy),
         "inner",
     )
-    # Single pass: the UDF short-circuits FULL-cell rows internally
-    # (vectorized mask — no geometry work for interior points). See
-    # pip_test_or_full_udf for why a filter+union split is wrong here.
-    exact = pip_test_or_full_udf(polygons)
-    return cand.filter(
-        exact(F.col(lon), F.col(lat), F.col("polygon_id"), F.col("is_full"))
-    ).drop("ccx", "ccy", "is_full", "cx", "cy")
+    # Single pass: FULL-cell rows short-circuit to true, boundary rows
+    # run the exact even-odd test. exact="native" (default) evaluates
+    # it as a literal-edge F.aggregate fold inside codegen — the whole
+    # join is then Python-free; exact="udf" keeps the Arrow/NumPy
+    # kernel (parity reference; also the path for polygon sets too
+    # large to inline as plan literals).
+    if exact == "native":
+        keep = pip_test_or_full_expr(
+            polygons, F.col(lon), F.col(lat),
+            F.col("polygon_id"), F.col("is_full"),
+        )
+    else:
+        test = pip_test_or_full_udf(polygons)
+        keep = test(
+            F.col(lon), F.col(lat), F.col("polygon_id"), F.col("is_full")
+        )
+    return cand.filter(keep).drop("ccx", "ccy", "is_full", "cx", "cy")
 
 
 def ways_in_polygon(

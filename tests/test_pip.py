@@ -84,3 +84,20 @@ def test_spark_spatial_join_matches_oracle(spark):
                 want.add((r["url"], r["pt_idx"], pid))
     assert got == want
     assert want  # fixture must actually produce matches
+
+
+def test_native_pip_expr_matches_udf_path(spark):
+    """exact='native' (literal-edge aggregate fold in codegen) and
+    exact='udf' (Arrow/NumPy kernel) must emit identical join rows —
+    both are bit-level ports of src/coords.jl:69-78."""
+    from osm_jl_spark.datagen import load_pages_points
+    from osm_jl_spark.operators.joins import nodes_in_polygons
+
+    pts = load_pages_points(spark, 400)
+    key = lambda r: (r["url"], r["pt_idx"], r["polygon_id"])  # noqa: E731
+    nat = {key(r) for r in nodes_in_polygons(pts, POLYGONS, 2).collect()}
+    udf = {
+        key(r)
+        for r in nodes_in_polygons(pts, POLYGONS, 2, exact="udf").collect()
+    }
+    assert nat == udf and len(nat) > 0

@@ -71,15 +71,16 @@ def test_flagship_cover_join_broadcasts(spark, pages_parquet):
     assert "SortMergeJoin" not in plan
 
 
-def test_flagship_single_python_operator(spark, pages_parquet):
-    """Exactly ONE Arrow/pandas evaluation (the exact-PIP test) —
-    geoparse is JVM-native (regexp_extract_all), so everything up to
-    the boundary-cell PIP check stays in whole-stage codegen."""
+def test_flagship_zero_python_operators(spark, pages_parquet):
+    """The entire flagship plan is Python-free: geoparse is a JVM
+    regexp kernel and the exact PIP test is a literal-edge aggregate
+    fold — everything runs in whole-stage codegen. (The Arrow/pandas
+    kernels survive as parity references, unused in this plan.)"""
     from osm_jl_spark import datagen as G
     from osm_jl_spark.operators.pipeline import flagship
 
     plan = explain(flagship(spark.read.parquet(pages_parquet), G.POLYGONS, 2))
-    assert count_nodes(plan, "ArrowEvalPython") == 1, plan  # exact PIP only
+    assert count_nodes(plan, "ArrowEvalPython") == 0, plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python, ever
     # whole-stage codegen active: AQE only finalizes the plan on
     # execution, so run it and check the executed plan's '*(n)' marks

@@ -138,37 +138,33 @@ def pip_test_or_full_udf(polygons: dict[int, Ring]):
 
 
 def pip_ring_expr(ring: Ring, lon, lat):
-    """NATIVE even-odd test for one ring: the crossing count as an
-    ``F.aggregate`` fold over a LITERAL edge array — same strict
-    comparisons and edge order as src/coords.jl:69-78, all inside
-    whole-stage codegen.
+    """NATIVE even-odd test for one ring: the crossing count UNROLLED
+    into a flat sum of per-edge scalar expressions — same strict
+    comparisons and edge order as src/coords.jl:69-78.
 
-    The ray-intersection x is computed only inside the crossing branch
-    (CASE WHEN evaluates lazily), mirroring Julia's short-circuit
-    ``&&``; when the branch IS taken, ay != by so the double division
-    is finite. Bit-parity with pip_mask/the oracle port is pinned by
-    tests (same IEEE ops, same order).
+    Unrolled (not an ``F.aggregate`` fold) on purpose: Spark's
+    higher-order functions have NO whole-stage codegen and evaluate
+    interpreted per row — measured ~7x slower on the sf0.1 PIP join.
+    Rings are small (the polygon dim is broadcast-scale), so the flat
+    expression stays well inside codegen limits. Edge constants are
+    literals; ``(lat - ay) / (by - ay) * (bx - ax)`` keeps the exact
+    IEEE op order of the reference (constant subexpressions fold to
+    the same doubles), so bit-parity with pip_mask/the oracle port
+    holds — pinned by tests. Division by zero can only arise on
+    non-crossing edges (doubles yield inf/nan, masked by `crosses`,
+    never an error).
     """
-    edges = F.array(
-        *[
-            F.struct(
-                F.lit(float(ax)).alias("ax"),
-                F.lit(float(ay)).alias("ay"),
-                F.lit(float(bx)).alias("bx"),
-                F.lit(float(by)).alias("by"),
-            )
-            for ax, ay, bx, by in zip(*(a.tolist() for a in _ring_arrays(ring)))
-        ]
-    )
-
-    def step(acc, e):
-        crosses = (e["ay"] > lat) != (e["by"] > lat)
-        x = e["ax"] + (lat - e["ay"]) / (e["by"] - e["ay"]) * (
-            e["bx"] - e["ax"]
+    axs, ays, bxs, bys = _ring_arrays(ring)
+    total = F.lit(0)
+    for ax, ay, bx, by in zip(
+        axs.tolist(), ays.tolist(), bxs.tolist(), bys.tolist()
+    ):
+        crosses = (F.lit(ay) > lat) != (F.lit(by) > lat)
+        x = F.lit(ax) + (lat - F.lit(ay)) / (F.lit(by) - F.lit(ay)) * (
+            F.lit(bx) - F.lit(ax)
         )
-        return acc + F.when(crosses & (x < lon), 1).otherwise(0)
-
-    return F.aggregate(edges, F.lit(0), step) % 2 == 1
+        total = total + F.when(crosses & (x < lon), 1).otherwise(0)
+    return total % 2 == 1
 
 
 def pip_test_or_full_expr(polygons: dict[int, Ring], lon, lat, pid, is_full):

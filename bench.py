@@ -53,7 +53,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/osm_jl_spark_bench")
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "8000000"))
+# 32M docs: with the all-native pipeline the 8M workload finishes in
+# ~5s at 8 cores — fixed per-job costs (scheduling, AQE planning, stage
+# tails) then eat ~20% of the run and masquerade as poor scaling. 32M
+# keeps the hi level >15s so the measurement reflects the pipeline,
+# matching the design point where jobs run minutes-to-hours.
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "32000000"))
 
 BENCH_QUERIES = [
     "geoparse_points",

@@ -943,7 +943,8 @@ t AS (
   SELECT lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
   FROM documents
 )
-SELECT lang, sum(nt) AS total_tokens, count(*) AS n_docs FROM t GROUP BY lang"""
+SELECT lang, CAST(sum(nt) AS BIGINT) AS total_tokens, count(*) AS n_docs
+FROM t GROUP BY lang"""
 
     langs = sorted(LANG_LEXICON)
     score_cols = ",\n       ".join(
@@ -979,28 +980,31 @@ SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2"""
 FROM documents GROUP BY source"""
 
     out["tpch_q1"] = """SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
     out["orders_by_segment"] = """SELECT c_mktsegment,
        count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
 
     out["tpch_q6"] = """SELECT
-       sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
-         AS revenue_c,
+       CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_c,
        count(*) AS n_rows
 FROM lineitem
 WHERE epoch(l_shipdate) >= 820454400 AND epoch(l_shipdate) < 883612800
   AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24"""
 
     out["tpch_q3"] = """SELECT l_orderkey,
-       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
-           AS BIGINT)) AS revenue_c,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1014,7 +1018,8 @@ LIMIT 10"""
        COALESCE(o_orderstatus, '(all)') AS status,
        COALESCE(o_orderpriority, '(all)') AS priority,
        count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
 
     out["events_sessionize"] = """WITH s AS (

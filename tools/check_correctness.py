@@ -60,8 +60,12 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # Both sides go through pandas, exactly like the driver —
+            # None in a float column becomes NaN on BOTH sides, so
+            # only genuine value differences fail the compare.
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False)]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -72,9 +76,12 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
+            # Fetch through pandas, exactly like the driver: DuckDB
+            # HUGEINT/DECIMAL artifacts surface as float64 here, and
+            # must fail the compare (fetchall() would hide them).
+            pdf = con.sql(oracles[name]).df()
+            dcols = list(pdf.columns)
+            drows = [tuple(r) for r in pdf.itertuples(index=False)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1

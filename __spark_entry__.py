@@ -654,6 +654,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = spark.createDataFrame([(SAMPLE_OSM_XML,)], "xml STRING")
         return parse_elements(df).select("kind", "id", "lon", "lat")
 
+    def osm_xml_file_q(spark, sf_dir):
+        # splittable single-file ingest (reference parsefile,
+        # src/OSM.jl:59-92): 3330 elements over ~11 byte-range splits;
+        # the oracle regenerates the fixture arithmetically, so every
+        # element id/coord/child-count must survive boundary scanning.
+        from osm_jl_spark.sources.osm_xml import (
+            parse_osm_file,
+            write_fixture_file,
+        )
+
+        path = write_fixture_file("/tmp/osm_jl_spark_fixture.osm")
+        els = parse_osm_file(spark, path, split_bytes=32 * 1024)
+        return els.select(
+            "kind",
+            "id",
+            "lon",
+            "lat",
+            # int not boolean: a nullable bool crosses pandas as
+            # object None on the Spark side but NaN on the DuckDB
+            # side; nullable ints become float64/NaN on BOTH.
+            F.col("visible").cast("int").alias("visible"),
+            F.size("node_refs").cast("long").alias("n_refs"),
+            F.size("members").cast("long").alias("n_members"),
+        )
+
     return {
         "geoparse_points": geoparse_points_q,
         "cell_encode": cell_encode_q,
@@ -703,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_features": geojson_q,
         "multimodal_features": multimodal_q,
         "osm_xml_parse": osm_xml_q,
+        "osm_xml_file_parse": osm_xml_file_q,
     }
 
 
@@ -1234,6 +1260,38 @@ FROM (VALUES
   ('way', 11, NULL, NULL),
   ('relation', 20, NULL, NULL)
 ) v(kind, id, lon, lat)"""
+
+    # ------------------ osm_xml_file_parse (arithmetic regeneration)
+    # The fixture writer emits coordinates as exact decimal strings
+    # ("10." + zero-padded digits); the oracle rebuilds the SAME string
+    # and casts, so both engines parse identical decimals -> identical
+    # IEEE doubles. Child counts ((i%5)+2 nd refs, 2 members) and the
+    # visible default ("false" when the attribute is absent) follow
+    # write_fixture_file exactly.
+    out["osm_xml_file_parse"] = """WITH nodes AS (
+  SELECT 'node' AS kind, CAST(i AS BIGINT) AS id,
+         CAST('10.' || lpad(CAST(i % 1000000 AS VARCHAR), 6, '0')
+              AS DOUBLE) AS lon,
+         CAST('59.' || lpad(CAST((i * 7) % 1000000 AS VARCHAR), 6, '0')
+              AS DOUBLE) AS lat,
+         CAST(NULL AS INT) AS visible,
+         CAST(NULL AS BIGINT) AS n_refs,
+         CAST(NULL AS BIGINT) AS n_members
+  FROM range(3000) t(i)
+), ways AS (
+  SELECT 'way', CAST(100000 + i AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(i % 2 = 0 AS INT), CAST((i % 5) + 2 AS BIGINT),
+         CAST(NULL AS BIGINT)
+  FROM range(300) t(i)
+), rels AS (
+  SELECT 'relation', CAST(200000 + i AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(2 AS BIGINT)
+  FROM range(30) t(i)
+)
+SELECT * FROM nodes UNION ALL SELECT * FROM ways
+UNION ALL SELECT * FROM rels"""
 
     # ------------------------- multimodal (golden, independent python)
     # Expected feature sums recomputed by osm_jl_spark.oracle.

@@ -131,25 +131,40 @@ def ivf_topk(
     With ``nprobe == n_centroids`` every bucket is probed and the
     result is EXACTLY the brute-force answer (bucketing prunes, never
     rescores) — the no-loss invariant the oracle checks.
-    ``rank_round`` as in cosine_topk (cross-engine tie stability)."""
-    probes_rows = []
-    import math as _m
+    ``rank_round`` as in cosine_topk (cross-engine tie stability).
 
-    qlocal = queries.select(qid_col, qvec_col).collect()
-    for row in qlocal:
-        qv = list(row[qvec_col])
-        qn = _m.sqrt(sum(x * x for x in qv)) or 1.0
-        scored = []
-        for ci, cv in enumerate(centroids):
-            cn = _m.sqrt(sum(x * x for x in cv)) or 1.0
-            cos = sum(a * b for a, b in zip(qv, cv)) / (qn * cn)
-            scored.append((-cos, ci))
-        for _, ci in sorted(scored)[:nprobe]:
-            probes_rows.append((row[qid_col], ci, qv))
-    spark = assigned.sparkSession
-    dim = len(centroids[0])
-    probes = spark.createDataFrame(
-        probes_rows, f"query_id BIGINT, bucket INT, qv ARRAY<DOUBLE>"
+    Probe selection is fully native: the centroid table is already a
+    small in-plan literal (array of structs), so each query ranks its
+    centroids via explode + window top-nprobe — zero driver collects,
+    and a fact-table-sized query side never touches the driver."""
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(ci).alias("c"),
+            F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+        )
+        for ci, cv in enumerate(centroids)
+    ])
+    # mirror the zero-vector guard (`or 1.0`) of the brute-force path;
+    # under ANSI mode a bare /0 would error instead of yielding nan
+    def _safe_norm(v):
+        n = _norm(v)
+        return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+    qc = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("qv"),
+    ).withColumn("_c", F.explode(cent_lit))
+    ccos = _dot(F.col("qv"), F.col("_c.cv")) / (
+        _safe_norm(F.col("qv")) * _safe_norm(F.col("_c.cv"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_ccos").desc(), F.col("_c.c").asc()
+    )
+    probes = (
+        qc.withColumn("_ccos", ccos)
+        .withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", F.col("_c.c").alias("bucket"), "qv")
     )
     cand = assigned.join(F.broadcast(probes), "bucket", "inner")
     cos = _dot(F.col(vec_col), F.col("qv")) / (

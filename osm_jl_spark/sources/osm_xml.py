@@ -18,6 +18,8 @@ reference's threaded extraction was not, src/elements.jl:117-126).
 from __future__ import annotations
 
 import io
+import os
+import re
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
@@ -179,3 +181,151 @@ def parse_osm_xml(
     ``Data(::AbstractString)``, src/OSM.jl:44)."""
     df = spark.createDataFrame([(xml_text,)], "xml STRING")
     return split_elements(parse_elements(df))
+
+
+def write_fixture_file(
+    path: str, n_nodes: int = 3000, n_ways: int = 300, n_rels: int = 30
+) -> str:
+    """Deterministic multi-element .osm fixture for the splittable-file
+    path. Coordinates are emitted as exact decimal STRINGS ("10." +
+    zero-padded digits) so any engine that parses the same string gets
+    the same IEEE double — float parity is definitional, not luck.
+    Formatting is deliberately irregular (some elements span lines,
+    some are dense) to exercise boundary scanning.
+    """
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>\n<osm version="0.6">\n']
+    for i in range(n_nodes):
+        lon = f"10.{i % 1000000:06d}"
+        lat = f"59.{(i * 7) % 1000000:06d}"
+        tag = f'<tag k="name" v="n{i}"/>' if i % 3 == 0 else ""
+        if i % 10 == 0:  # multi-line element
+            parts.append(
+                f'  <node id="{i}"\n        lon="{lon}" lat="{lat}">\n'
+                f"    {tag}\n  </node>\n"
+            )
+        else:
+            parts.append(f'<node id="{i}" lon="{lon}" lat="{lat}">{tag}</node>\n')
+    for i in range(n_ways):
+        vis = ' visible="true"' if i % 2 == 0 else ""
+        nds = "".join(f'<nd ref="{j}"/>' for j in range(i, i + (i % 5) + 2))
+        parts.append(
+            f'<way id="{100000 + i}"{vis}>{nds}<tag k="highway" v="x"/></way>\n'
+        )
+    for i in range(n_rels):
+        parts.append(
+            f'<relation id="{200000 + i}"><member ref="{i}" type="way" '
+            f'role="outer"/><member ref="{i + 1}" type="node" role=""/>'
+            f'<tag k="type" v="multipolygon"/></relation>\n'
+        )
+    parts.append("</osm>\n")
+    with open(path, "w") as f:
+        f.write("".join(parts))
+    return path
+
+
+# --------------------------- splittable single-file ingest (parsefile)
+
+# top-level OSM element openers only; child tags (<nd, <tag, <member,
+# <bounds) never match, so a match is always an element boundary.
+# XML forbids raw '<' inside attribute values, so text content cannot
+# fake a match (comments/CDATA are not emitted by OSM dumps).
+_ELEMENT_START_RE = re.compile(rb"<(node|way|relation)[ \t\r\n/>]")
+
+
+def _parse_range(
+    path: str, start: int, end: int, is_tail: bool, max_element_bytes: int
+) -> list[dict]:
+    """Parse the elements OWNED by byte range [start, end) of an OSM
+    XML file. Ownership rule (the Hadoop input-split convention): an
+    element belongs to the range containing the FIRST byte of its
+    opening tag, so every element is parsed exactly once with no
+    coordination between tasks.
+
+    The task reads its range plus a ``max_element_bytes`` overscan so
+    the last owned element (which may cross ``end``) completes; raises
+    if a single element exceeds the overscan instead of silently
+    truncating.
+    """
+    want = (end - start) + max_element_bytes
+    with open(path, "rb") as f:
+        f.seek(start)
+        window = f.read(want)
+    hit_eof = len(window) < want
+    first = None
+    cut = None
+    for m in _ELEMENT_START_RE.finditer(window):
+        if start + m.start() < end:
+            if first is None:
+                first = m.start()
+        else:
+            cut = m.start()
+            break
+    if first is None:  # range holds no element starts (header/trailer)
+        return []
+    if cut is None:
+        if not (is_tail or hit_eof):
+            raise ValueError(
+                f"OSM element starting in [{start},{end}) exceeds "
+                f"max_element_bytes={max_element_bytes}; raise the limit"
+            )
+        tail = window.find(b"</osm>", first)
+        cut = tail if tail != -1 else len(window)
+    frag = b"<osm>" + window[first:cut] + b"</osm>"
+    # cut points are at ASCII '<' tag starts, so frag is valid UTF-8
+    # even when the RANGE boundaries fall mid-multibyte-character.
+    return _parse_doc(frag.decode("utf-8"))
+
+
+def parse_osm_file(
+    spark: SparkSession,
+    path: str,
+    split_bytes: int = 64 << 20,
+    max_element_bytes: int = 16 << 20,
+) -> DataFrame:
+    """Splittable ingest of ONE large OSM XML file — the reference's
+    primary entry point ``parsefile`` (src/OSM.jl:59-92), which streams
+    a planet/extract file through a single-threaded SAX parser. Here
+    the file is cut into ``split_bytes`` ranges parsed in parallel,
+    one task per range (Spark's own XML datasource reads a single file
+    in one task, so a planet file would serialize).
+
+    Output is the unified elements table (kind/id/lon/lat/visible/
+    node_refs/members/tags) in document order within each range;
+    ``split_elements`` recovers the Data triple. The path must be
+    visible from executors (shared storage — same contract as any
+    Hadoop input split).
+    """
+    size = os.path.getsize(path)
+    n = max(1, -(-size // split_bytes))
+    ranges = [
+        (
+            i,
+            i * split_bytes,
+            min((i + 1) * split_bytes, size),
+            (i + 1) * split_bytes >= size,
+        )
+        for i in range(n)
+    ]
+    rdf = spark.createDataFrame(
+        ranges, "split_id INT, start BIGINT, end BIGINT, is_tail BOOLEAN"
+    ).repartition(n, "split_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for r in pdf.itertuples(index=False):
+                rows.extend(
+                    _parse_range(
+                        path, int(r.start), int(r.end), bool(r.is_tail),
+                        max_element_bytes,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "kind", "id", "lon", "lat", "visible",
+                    "node_refs", "members", "tags",
+                ],
+            )
+
+    return rdf.mapInPandas(run, ELEMENTS_SCHEMA)

@@ -2,10 +2,17 @@
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from osm_jl_spark.sources.geojson import feature_collection, way_features
-from osm_jl_spark.sources.osm_xml import SAMPLE_OSM_XML, parse_osm_xml
+from osm_jl_spark.sources.osm_xml import (
+    SAMPLE_OSM_XML,
+    parse_elements,
+    parse_osm_file,
+    parse_osm_xml,
+    write_fixture_file,
+)
 
 
 def test_parse_osm_xml(spark):
@@ -27,6 +34,44 @@ def test_parse_osm_xml(spark):
         (1, "node", ""),
     ]
     assert r[20]["tags"]["type"] == "multipolygon"
+
+
+def _canon_elements(df):
+    rows = df.select(
+        "kind", "id", "lon", "lat", "visible", "node_refs",
+        F.to_json("members").alias("members"), F.to_json("tags").alias("tags"),
+    ).collect()
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.mark.parametrize("split_bytes", [512, 7 * 1024, 10 << 20])
+def test_parse_osm_file_split_invariance(spark, tmp_path, split_bytes):
+    """Splittable single-file ingest must yield the SAME elements at
+    any split size — including splits far smaller than an element's
+    surroundings and a single split covering the whole file — as the
+    whole-document parser on identical content (ownership rule:
+    element belongs to the split holding its opening tag)."""
+    path = write_fixture_file(
+        str(tmp_path / "fx.osm"), n_nodes=300, n_ways=40, n_rels=10
+    )
+    whole = parse_elements(
+        spark.createDataFrame([(open(path).read(),)], "xml STRING")
+    )
+    split = parse_osm_file(spark, path, split_bytes=split_bytes)
+    if split_bytes < 10 << 20:
+        assert split.rdd.getNumPartitions() > 1
+    assert _canon_elements(split) == _canon_elements(whole)
+
+
+def test_parse_osm_file_oversize_element_errors(spark, tmp_path):
+    p = tmp_path / "big.osm"
+    refs = "".join(f'<nd ref="{i}"/>' for i in range(3000))
+    p.write_text(f'<osm><way id="1">{refs}</way><node id="2" lon="1" '
+                 f'lat="2"/></osm>')
+    with pytest.raises(Exception, match="max_element_bytes"):
+        parse_osm_file(
+            spark, str(p), split_bytes=1024, max_element_bytes=2048
+        ).collect()
 
 
 def test_geojson_feature(spark):

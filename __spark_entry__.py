@@ -284,6 +284,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n.select(F.lit("node").alias("kind"), "id")
         )
 
+    def addr_postcode_city_q(spark, sf_dir):
+        # F4 macro helpers beyond what search_address reads: postcode
+        # and city (src/utils.jl:16-34), exercised on the nodes table
+        n = _nodes(spark, sf_dir)
+        return n.filter(E.isaddress() & E.addr_postcode().isNotNull()).select(
+            "id",
+            E.addr_street().alias("street"),
+            E.addr_housenumber().alias("housenumber"),
+            E.addr_postcode().alias("postcode"),
+            E.addr_city().alias("city"),
+        )
+
     def is_closed_q(spark, sf_dir):
         return _ways(spark, sf_dir).select(
             "id", E.is_closed().alias("closed")
@@ -634,6 +646,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ways = _ways(spark, sf_dir).filter(F.col("id") <= 50)
         return way_features(ways, _nodes(spark, sf_dir), coord_decimals=5)
 
+    def geojson_props_q(spark, sf_dir):
+        # the reference's user property generator (src/geojson.jl:15,36)
+        # — props Columns merged into properties; read back out of the
+        # emitted JSON so the oracle checks the full round trip
+        from osm_jl_spark.sources.geojson import way_features
+
+        ways = _ways(spark, sf_dir).filter(F.col("id") <= 50)
+        feats = way_features(
+            ways,
+            _nodes(spark, sf_dir),
+            coord_decimals=5,
+            props={
+                "highway": E.gettag(E.HIGHWAY),
+                "street": E.addr_street(),
+            },
+        )
+        return feats.select(
+            "way_id",
+            F.get_json_object("feature", "$.properties.name").alias("name"),
+            F.get_json_object("feature", "$.properties.highway").alias(
+                "highway"
+            ),
+            F.get_json_object("feature", "$.properties.street").alias(
+                "street"
+            ),
+        )
+
+    def feature_collection_q(spark, sf_dir):
+        # K2: FeatureCollection assembly (src/geojson.jl:36-41) — the
+        # driver-side concat, checked as (count, md5 of the exact
+        # string) so the oracle pins byte-identical assembly order
+        import hashlib
+        import json as _json
+
+        from osm_jl_spark.sources.geojson import (
+            feature_collection,
+            way_features,
+        )
+
+        ways = _ways(spark, sf_dir).filter(F.col("id") <= 50)
+        fc = feature_collection(
+            way_features(ways, _nodes(spark, sf_dir), coord_decimals=5)
+        )
+        obj = _json.loads(fc)  # must parse as valid JSON
+        return spark.createDataFrame(
+            [(len(obj["features"]),
+              hashlib.md5(fc.encode()).hexdigest())],
+            "n_features BIGINT, fc_md5 STRING",
+        )
+
     def multimodal_q(spark, sf_dir):
         from osm_jl_spark.operators.multimodal import (
             decode_and_featurize,
@@ -726,6 +788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top3": events_top3_q,
         "events_sessionize": events_sessionize_q,
         "geojson_features": geojson_q,
+        "geojson_props": geojson_props_q,
+        "feature_collection": feature_collection_q,
+        "addr_postcode_city": addr_postcode_city_q,
         "multimodal_features": multimodal_q,
         "osm_xml_parse": osm_xml_q,
         "osm_xml_file_parse": osm_xml_file_q,
@@ -1339,5 +1404,47 @@ SELECT r.id AS way_id,
        CASE WHEN w.t_name IS NULL THEN '{{}}'
             ELSE '{{"name":"' || w.t_name || '"}}' END || '}}' AS feature
 FROM ring r JOIN ways w ON w.id = r.id"""
+
+    # user-props round trip: properties read back OUT of the emitted
+    # JSON must equal the ways table's tag columns verbatim
+    out["geojson_props"] = f"""WITH {ways}
+SELECT id AS way_id, t_name AS name, t_highway AS highway,
+       t_addr_street AS street
+FROM ways WHERE id <= 50"""
+
+    # K2 FeatureCollection: same feature strings as geojson_features,
+    # concatenated in way_id order inside the canonical envelope, then
+    # count + md5 — byte-identical assembly or the hash differs
+    out["feature_collection"] = f"""WITH {nodes}, {ways},
+wn AS (
+  SELECT wr.id, wr.pos,
+         CAST(CAST(n.lon AS DECIMAL(10,5)) AS VARCHAR) AS lons,
+         CAST(CAST(n.lat AS DECIMAL(10,5)) AS VARCHAR) AS lats
+  FROM ways_refs wr JOIN nodes n ON wr.ref = n.id
+  WHERE wr.id <= 50
+),
+ring AS (
+  SELECT id,
+         string_agg('[' || lons || ',' || lats || ']', ',' ORDER BY pos) AS cs
+  FROM wn GROUP BY id
+),
+feats AS (
+  SELECT r.id AS way_id,
+         '{{"type":"Feature","id":' || r.id ||
+         ',"geometry":{{"type":"Polygon","coordinates":[[' || r.cs ||
+         ']]}},"properties":' ||
+         CASE WHEN w.t_name IS NULL THEN '{{}}'
+              ELSE '{{"name":"' || w.t_name || '"}}' END || '}}' AS feature
+  FROM ring r JOIN ways w ON w.id = r.id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_features,
+       md5('{{"type":"FeatureCollection","features":[' ||
+           string_agg(feature, ',' ORDER BY way_id) || ']}}') AS fc_md5
+FROM feats"""
+
+    out["addr_postcode_city"] = f"""WITH {nodes}
+SELECT id, t_addr_street AS street, t_addr_housenumber AS housenumber,
+       t_addr_postcode AS postcode, t_addr_city AS city
+FROM nodes WHERE t_addr_street IS NOT NULL AND t_addr_postcode IS NOT NULL"""
 
     return out

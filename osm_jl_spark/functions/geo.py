@@ -150,9 +150,12 @@ def pip_ring_expr(ring: Ring, lon, lat):
     literals; ``(lat - ay) / (by - ay) * (bx - ax)`` keeps the exact
     IEEE op order of the reference (constant subexpressions fold to
     the same doubles), so bit-parity with pip_mask/the oracle port
-    holds — pinned by tests. Division by zero can only arise on
-    non-crossing edges (doubles yield inf/nan, masked by `crosses`,
-    never an error).
+    holds — pinned by tests. The division is ``try_divide``: by == ay
+    only on horizontal edges, where ``crosses`` is always false, but
+    under ANSI mode a bare / would raise DIVIDE_BY_ZERO if an
+    optimizer reordering ever evaluated it first — try_divide yields
+    NULL there and ``false & NULL = false``, safe in ANY evaluation
+    order (identical quotient on every crossing edge).
     """
     axs, ays, bxs, bys = _ring_arrays(ring)
     total = F.lit(0)
@@ -160,21 +163,24 @@ def pip_ring_expr(ring: Ring, lon, lat):
         axs.tolist(), ays.tolist(), bxs.tolist(), bys.tolist()
     ):
         crosses = (F.lit(ay) > lat) != (F.lit(by) > lat)
-        x = F.lit(ax) + (lat - F.lit(ay)) / (F.lit(by) - F.lit(ay)) * (
-            F.lit(bx) - F.lit(ax)
-        )
+        x = F.lit(ax) + F.try_divide(
+            lat - F.lit(ay), F.lit(by) - F.lit(ay)
+        ) * (F.lit(bx) - F.lit(ax))
         total = total + F.when(crosses & (x < lon), 1).otherwise(0)
     return total % 2 == 1
 
 
 def pip_test_or_full_expr(polygons: dict[int, Ring], lon, lat, pid, is_full):
     """NATIVE single-pass cover-join test: FULL cells short-circuit to
-    true, boundary cells run the per-polygon even-odd fold (dispatched
-    by a CASE over the small polygon set). Replaces
+    true, boundary cells run the per-polygon unrolled even-odd
+    expression (dispatched by a CASE over the small polygon set;
+    see pip_ring_expr for why it is unrolled, not a fold). Replaces
     pip_test_or_full_udf in the default plan — the whole spatial join
     is then Python-free; the UDF stays as the parity reference and the
     path for polygon sets too large to inline as literals.
     """
+    if not polygons:  # no CASE to build; only FULL cells can match
+        return is_full
     branch = None
     for p, ring in sorted(polygons.items()):
         inside = pip_ring_expr(ring, lon, lat)

@@ -83,7 +83,10 @@ def geoparse_udf(text: pd.Series) -> pd.Series:
 
 # ------------------------------------- native ingest (no Python at all)
 
-GEO_PATTERN = r"lat (-?\d+\.\d{5}) lon (-?\d+\.\d{5})"
+# ASCII digit class spelled out, matching oracle.GEO_RE exactly (a
+# Java-regex \d is ASCII-only but a Python-str \d is Unicode-wide —
+# [0-9] makes the two kernels agree by construction).
+GEO_PATTERN = r"lat (-?[0-9]+\.[0-9]{5}) lon (-?[0-9]+\.[0-9]{5})"
 
 
 def extract_text_col(html: Column | str) -> Column:

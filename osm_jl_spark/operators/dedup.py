@@ -217,14 +217,17 @@ def ngram_jaccard_pairs(
 
     Inverted-index join: explode shingle hashes, self-join per shingle
     (min-id < other-id), count shared shingles per pair, then
-    |A∩B| / (|A| + |B| - |A∩B|). The shingle join is the standard
-    set-similarity plan; hot shingles (stopword runs) are capped by
-    document-frequency pruning (df <= max_df) which cannot create
-    false negatives ONLY when threshold still reachable — we keep the
-    exact path and prune only ubiquitous shingles appearing in more
-    than max_df docs, recording them as always-shared is unsound, so
-    instead max_df is sized >= group size in tests; at true web scale
-    swap in minhash_dedup_pairs.
+    |A∩B| / (|A| + |B| - |A∩B|).
+
+    Scale honesty: this is the EXACT path, and it carries quadratic
+    risk on hot shingles — a shingle shared by d documents emits
+    d*(d-1)/2 join rows, so one ubiquitous stopword run can dominate
+    the shuffle. No document-frequency pruning is applied, because
+    dropping a hot shingle changes the intersection count and would
+    silently under-report jaccard (unsound). Use this operator for
+    exact verification at moderate scale; at web scale the declared
+    path is minhash_dedup_pairs, whose banded join is bucketed and
+    per-bucket-capped (see the bench ladder in BASELINE.md).
     """
     sh = _shingle_hashes(docs, id_col, text_col, shingle_n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -346,14 +349,19 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH buckets +
     exact cosine check (native F.aggregate/zip_with math; the plane
-    matrix is a literal array baked into the plan)."""
+    matrix is a literal array baked into the plan).
+
+    Pass ``dim`` to keep plan construction fully lazy; when omitted, a
+    one-row probe reads the first vector's length (array columns carry
+    no length in the schema)."""
     import random
 
-    first = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"]
+    if dim is None:
+        dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
     rng = random.Random(seed)
     planes = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)

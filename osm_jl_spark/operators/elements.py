@@ -92,6 +92,40 @@ def search_address(
     return ways.filter(pred), nodes.filter(pred)
 
 
+# --- F4 tag macro helpers (src/utils.jl:7-52): each Julia macro is a
+# one-line Column factory here, so it composes into any filter/select.
+
+
+def name_of(tags: str = "tags") -> Column:
+    """``@name`` (src/utils.jl:7-9)."""
+    return gettag(NAME, tags)
+
+
+def isaddress(tags: str = "tags") -> Column:
+    """``@isaddress`` — has an addr:street tag (src/utils.jl:16-18)."""
+    return hastag(ADDR_STREET, tags)
+
+
+def addr_street(tags: str = "tags") -> Column:
+    """``@addr_street`` (src/utils.jl:20-22)."""
+    return gettag(ADDR_STREET, tags)
+
+
+def addr_housenumber(tags: str = "tags") -> Column:
+    """``@addr_housenumber`` (src/utils.jl:24-26)."""
+    return gettag(ADDR_HOUSENUMBER, tags)
+
+
+def addr_postcode(tags: str = "tags") -> Column:
+    """``@addr_postcode`` (src/utils.jl:28-30)."""
+    return gettag(ADDR_POSTCODE, tags)
+
+
+def addr_city(tags: str = "tags") -> Column:
+    """``@addr_city`` (src/utils.jl:32-34)."""
+    return gettag(ADDR_CITY, tags)
+
+
 def is_closed(node_refs: str = "node_refs") -> Column:
     """First ref == last ref (src/elements.jl:234). Uses element_at
     (1-based; -1 = last); NULL-safe for empty arrays."""

@@ -123,8 +123,9 @@ def nodes_in_polygons(
     )
     # Single pass: FULL-cell rows short-circuit to true, boundary rows
     # run the exact even-odd test. exact="native" (default) evaluates
-    # it as a literal-edge F.aggregate fold inside codegen — the whole
-    # join is then Python-free; exact="udf" keeps the Arrow/NumPy
+    # it as UNROLLED per-edge literal expressions inside codegen
+    # (higher-order folds have no codegen — see pip_ring_expr) — the
+    # whole join is then Python-free; exact="udf" keeps the Arrow/NumPy
     # kernel (parity reference; also the path for polygon sets too
     # large to inline as plan literals).
     if exact == "native":

@@ -63,7 +63,10 @@ def point_in_polygon(lon: float, lat: float, ring: list[tuple[float, float]]) ->
 _TAG_RE = re.compile(rb"<[^>]*>")
 _WS_RE = re.compile(rb"\s+")
 
-GEO_RE = re.compile(r"lat (-?\d+\.\d{5}) lon (-?\d+\.\d{5})")
+# [0-9] not \d: Python-str \d matches Unicode digits while Java regex
+# \d (the native geoparse kernel) matches ASCII only — spelling out the
+# class makes UDF/native/oracle parity definitional on real web text.
+GEO_RE = re.compile(r"lat (-?[0-9]+\.[0-9]{5}) lon (-?[0-9]+\.[0-9]{5})")
 
 
 def extract_text(html: bytes) -> str:

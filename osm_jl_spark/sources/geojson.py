@@ -20,7 +20,10 @@ from osm_jl_spark.operators.joins import way_geometries
 
 
 def way_features(
-    ways: DataFrame, nodes: DataFrame, coord_decimals: int | None = None
+    ways: DataFrame,
+    nodes: DataFrame,
+    coord_decimals: int | None = None,
+    props: dict[str, "F.Column"] | None = None,
 ) -> DataFrame:
     """(way_id, feature STRING): GeoJSON Feature per way.
 
@@ -33,11 +36,19 @@ def way_features(
     Raw doubles render small values in scientific notation ("5.7E-4"),
     which is valid JSON but not canonical — fixed-scale output is
     byte-reproducible across engines (the DuckDB oracle relies on it).
+
+    ``props``: user property generator (the reference's ``props`` kwarg,
+    src/geojson.jl:15,36) — a dict of property name -> Column evaluated
+    against the ways row (e.g. ``{"highway": gettag("highway")}``),
+    merged into ``properties`` after ``name``. NULL-valued entries are
+    dropped by to_json, matching the reference's sparse dicts.
     """
+    props = props or {}
     geo = way_geometries(ways, nodes)
     named = ways.select(
         F.col("id").alias("way_id"),
         F.element_at(F.col("tags"), F.lit("name")).alias("name"),
+        *[c.alias(f"_p_{k}") for k, c in props.items()],
     )
 
     def coord(c):
@@ -58,7 +69,10 @@ def way_features(
                     )
                 ).alias("coordinates"),
             ).alias("geometry"),
-            F.struct(F.col("name").alias("name")).alias("properties"),
+            F.struct(
+                F.col("name").alias("name"),
+                *[F.col(f"_p_{k}").alias(k) for k in props],
+            ).alias("properties"),
         )
     )
     return geo.join(named, "way_id", "left").select(

@@ -27,6 +27,8 @@ skipping, with zero shuffle and zero Python.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,9 +49,11 @@ def read_pages(
     """Load the pages table from Iceberg (catalog table or path) or
     parquet, returning the canonical column set in canonical order.
 
-    fmt=None autodetects: a location without '/' is treated as a
-    catalog table name; otherwise Iceberg-format load is attempted and
-    parquet is the fallback.
+    fmt=None autodetects: a location shaped like a (qualified) SQL
+    identifier is treated as a catalog table name; anything else is a
+    path, tried as Iceberg and falling back to parquet ONLY when the
+    failure is the Iceberg format itself being unavailable — genuine
+    read errors (permissions, corruption) propagate.
     """
     if fmt == "iceberg":
         df = spark.read.format("iceberg").load(location)
@@ -57,13 +61,27 @@ def read_pages(
         df = spark.read.table(location)
     elif fmt == "parquet":
         df = spark.read.parquet(location)
-    elif "/" not in location:
+    elif re.fullmatch(
+        r"[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*", location
+    ) and not location.lower().endswith(
+        (".parquet", ".pq", ".orc", ".avro", ".json", ".csv", ".osm")
+    ):
+        # identifier (db.schema.table); a bare relative filename like
+        # "pages.parquet" is path-shaped, not a table reference
         df = spark.read.table(location)
     else:
         try:
             df = spark.read.format("iceberg").load(location)
-        except Exception:  # no iceberg runtime / not an iceberg table
-            df = spark.read.parquet(location)
+        except Exception as e:  # fall back ONLY on missing Iceberg
+            msg = str(e)
+            if (
+                "DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find the data source: iceberg" in msg
+                or "ClassNotFoundException" in msg
+            ):
+                df = spark.read.parquet(location)
+            else:
+                raise
     missing = [c for c in PAGES_COLS if c not in df.columns]
     if missing:
         raise ValueError(

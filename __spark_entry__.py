@@ -335,6 +335,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "id", F.col("rank").alias("knn_rank")
         )
 
+    def knn_10k_q(spark, sf_dir):
+        # query-side scale proof: 10k queries through the SAME ring
+        # expansion — possible only because per-query bookkeeping is
+        # DataFrame-resident (no per-query driver state). Aggregated
+        # output keeps the rows-only check stable; the per-query path
+        # is oracle-checked by knn_ring.
+        nodes = _nodes(spark, sf_dir).select("id", "lon", "lat")
+        q = nodes.filter(F.col("id") <= 10000).select(
+            F.col("id").alias("query_id"),
+            (F.col("lon") + 0.001).alias("qlon"),
+            (F.col("lat") + 0.001).alias("qlat"),
+        )
+        out = knn_join(nodes, q, k=5, precision=PRECISION)
+        return out.agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(
+                F.col("query_id") * 100003 + F.col("id") * 31 + F.col("rank")
+            ).cast("long").alias("checksum"),
+        )
+
     # ------------------------- text / dedup / similarity (driver tables)
 
     def dedup_exact_groups_q(spark, sf_dir):
@@ -764,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_members": rel_members_q,
         "relations_with_node_members": rel_with_node_members_q,
         "knn_ring": knn_q,
+        "knn_ring_10k": knn_10k_q,
         "dedup_exact_groups": dedup_exact_groups_q,
         "dedup_exact_keep": dedup_exact_keep_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
@@ -955,6 +977,30 @@ r AS (
   FROM d
 )
 SELECT query_id, id, knn_rank FROM r WHERE knn_rank <= 5"""
+
+    # 10k-query variant: same ring-expansion join, checked as an
+    # aggregate checksum over (query, neighbor, rank) — the full result
+    # set would be 50k rows of brute-force window in DuckDB, fine at
+    # sf0.01, and the checksum still pins every neighbor id and rank.
+    # Offsets (+0.001) keep queries off their own node (rank 1 is a
+    # genuine nearest-neighbor decision, not identity).
+    out["knn_ring_10k"] = f"""WITH {nodes},
+q AS (SELECT id AS query_id, lon + 0.001 AS qlon, lat + 0.001 AS qlat
+      FROM nodes WHERE id <= 10000),
+d AS (
+  SELECT q.query_id, n.id,
+         (n.lon - q.qlon) * (n.lon - q.qlon) + (n.lat - q.qlat) * (n.lat - q.qlat) AS d2
+  FROM q, nodes n
+),
+r AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, id) AS rnk
+  FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_results,
+       CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(sum(query_id * 100003 + id * 31 + rnk) AS BIGINT) AS checksum
+FROM r WHERE rnk <= 5"""
 
     # -------------------------- text / dedup (driver documents view)
 

@@ -53,12 +53,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/osm_jl_spark_bench")
-# 32M docs: with the all-native pipeline the 8M workload finishes in
-# ~5s at 8 cores — fixed per-job costs (scheduling, AQE planning, stage
-# tails) then eat ~20% of the run and masquerade as poor scaling. 32M
-# keeps the hi level >15s so the measurement reflects the pipeline,
+# 64M docs: fixed per-job costs (scheduling, AQE planning, broadcast
+# build, stage tails) are ~1.5-2s regardless of scale — at the 8M
+# workload they eat ~20% of the hi-level run and at 32M still ~10%,
+# masquerading as poor scaling (round-1 recorded 0.696 at 32M; the
+# hi-level THROUGHPUT rose from 1.83M to 2.28M docs/s going 32M->64M,
+# which is the overhead amortizing, not the engine changing). 64M
+# keeps the hi level ~30s so the measurement reflects the pipeline,
 # matching the design point where jobs run minutes-to-hours.
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "32000000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "64000000"))
 
 BENCH_QUERIES = [
     "geoparse_points",
@@ -67,6 +70,7 @@ BENCH_QUERIES = [
     "bbox_vitoria_nodes",
     "waynodes_join",
     "knn_ring",
+    "knn_ring_10k",
     "dedup_exact_keep",
     "minhash_pairs",
     "embedding_knn",
@@ -151,7 +155,11 @@ def scaling_run(cores: int, path: str) -> None:
     # pipeline, not process startup
     _flagship_from_parquet(spark, path).count()
     best = float("inf")
-    for _ in range(2):
+    # 1 timed run per session by default: the 3 INTERLEAVED sessions
+    # already give 3 samples per level, and at 64M docs a second
+    # timed lo run would add ~2 min/round of wall time for little
+    # extra noise rejection (min-over-sessions converges the same)
+    for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "1"))):
         t0 = time.time()
         _flagship_from_parquet(spark, path).count()
         best = min(best, time.time() - t0)

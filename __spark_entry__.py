@@ -331,7 +331,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lon").alias("qlon"),
             F.col("lat").alias("qlat"),
         )
-        return knn_join(nodes, q, k=5, precision=PRECISION).select(
+        # precision 3 is the kNN INDEX grid, not the engine cell
+        # standard: results are provably precision-independent (the
+        # stop rule is sound at any step), but city-scale data packs
+        # >20k nodes into one precision-2 cell (~1.1 km) — a finer
+        # grid keeps per-query candidate sets near k instead of
+        # city-sized.
+        return knn_join(nodes, q, k=5, precision=3).select(
             "query_id", "id", F.col("rank").alias("knn_rank")
         )
 
@@ -347,7 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("lon") + 0.001).alias("qlon"),
             (F.col("lat") + 0.001).alias("qlat"),
         )
-        out = knn_join(nodes, q, k=5, precision=PRECISION)
+        out = knn_join(nodes, q, k=5, precision=3)
         return out.agg(
             F.count(F.lit(1)).alias("n_results"),
             F.countDistinct("query_id").alias("n_queries"),

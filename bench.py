@@ -134,7 +134,7 @@ def _flagship_from_parquet(spark, path):
     return flagship(spark.read.parquet(path), G.POLYGONS, 2)
 
 
-def scaling_run(cores: int, path: str) -> None:
+def scaling_run(cores: int, path: str, n_runs: int = 1) -> None:
     from osm_jl_spark.session import get_spark
 
     # 32 MB input splits: at the design point (10^12 docs) splits
@@ -155,11 +155,7 @@ def scaling_run(cores: int, path: str) -> None:
     # pipeline, not process startup
     _flagship_from_parquet(spark, path).count()
     best = float("inf")
-    # 1 timed run per session by default: the 3 INTERLEAVED sessions
-    # already give 3 samples per level, and at 64M docs a second
-    # timed lo run would add ~2 min/round of wall time for little
-    # extra noise rejection (min-over-sessions converges the same)
-    for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "1"))):
+    for _ in range(n_runs):
         t0 = time.time()
         _flagship_from_parquet(spark, path).count()
         best = min(best, time.time() - t0)
@@ -245,8 +241,18 @@ def main() -> None:
             # — inflating low-level throughput and understating scaling
             # efficiency. A real cluster executor is cgroup-bounded;
             # taskset reproduces that boundary.
+            #
+            # Asymmetric sample counts: the HI level is the
+            # noise-sensitive one (hypervisor steal hits a fully-pinned
+            # 8-core run hardest, and one bad multi-minute window can
+            # poison every session of a round-robin) AND the cheap one
+            # (~30s/run vs ~2min at lo), so it gets 3 timed runs per
+            # session — 9 samples across the interleave — while lo
+            # (insensitive: 30 idle cores of headroom, measured spread
+            # <8%) gets 1.
+            n_runs = 1 if cores == lo_cores else 3
             cmd = [sys.executable, os.path.abspath(__file__),
-                   "--scaling-run", str(cores), scale_path]
+                   "--scaling-run", str(cores), scale_path, str(n_runs)]
             if shutil.which("taskset"):
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             out = subprocess.run(
@@ -254,6 +260,11 @@ def main() -> None:
             )
             for line in out.stdout.splitlines():
                 if line.startswith("SCALING"):
+                    # echo per-round values to stderr: when a round
+                    # catches hypervisor weather, the evidence of WHICH
+                    # session was hit must survive into the log
+                    print(f"[round {rnd}] {line}", file=sys.stderr,
+                          flush=True)
                     _, c, dt, nd = line.split()
                     prev = scaling.get(int(c))
                     if prev is None or float(dt) < prev[0]:
@@ -299,6 +310,9 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-run":
-        scaling_run(int(sys.argv[2]), sys.argv[3])
+        scaling_run(
+            int(sys.argv[2]), sys.argv[3],
+            int(sys.argv[4]) if len(sys.argv) > 4 else 1,
+        )
     else:
         main()

@@ -24,8 +24,10 @@ Algorithm (driver-coordinated, data-parallel):
      aggregates: the adaptive round-2 radius (a global max) and
      materialization counts. Query-side scale is therefore bounded by
      the cluster, not the driver (VERDICT r1 "What's wrong" #2).
-  4. Round 2 jumps straight to the largest provably-sufficient radius
-     over the unfinished-but-k-full queries (ceil(sqrt(dk))/step + 1).
+  4. Round 2 jumps each unfinished-but-k-full query straight to ITS
+     OWN provably-sufficient radius (ceil(sqrt(dk))/step + 1, a
+     per-query column) — disks stay proportional to local density;
+     no straggler-radius amplification across queries.
   5. Stragglers past max_r (empty regions) fall back to a brute-force
      broadcast cross join — correct anywhere, hit only for degenerate
      neighborhoods.
@@ -39,16 +41,24 @@ from pyspark.sql import functions as F
 from osm_jl_spark.functions.cells import with_cell
 
 
-def _disk_join_topk(pts: DataFrame, queries: DataFrame, r: int, k: int
+def _disk_join_topk(pts: DataFrame, queries: DataFrame, r, k: int
                     ) -> DataFrame:
     """Top-k candidates per query within the Chebyshev disk of radius r.
+
+    ``r`` is an int (same disk for every query) or a COLUMN NAME on
+    ``queries`` holding each query's own radius — per-query disks keep
+    the exploded size at sum((2*r_q+1)^2) instead of letting the
+    worst query's radius multiply every other query (with 10k+
+    queries, one far-out straggler would otherwise inflate the
+    broadcast by orders of magnitude).
 
     (query_id, id, d2, rn). The exploded query side broadcasts; points
     arrive through a hash join on the exact cell pair.
     """
+    rr = str(int(r)) if isinstance(r, int) else f"CAST({r} AS INT)"
     offsets = F.expr(
-        f"flatten(transform(sequence(-{r}, {r}), dx ->"
-        f" transform(sequence(-{r}, {r}), dy -> struct(dx, dy))))"
+        f"flatten(transform(sequence(-{rr}, {rr}), dx ->"
+        f" transform(sequence(-{rr}, {rr}), dy -> struct(dx, dy))))"
     )
     qx = queries.withColumn("_o", F.explode(offsets)).select(
         "query_id",
@@ -122,31 +132,42 @@ def knn_join(
     )
 
     # ---- round 2: adaptive jump for queries that HAVE k candidates
-    # but an unproven bound. The jump radius is the max over them of
-    # the provably-sufficient radius — a single scalar aggregate, the
-    # only per-round value that crosses to the driver.
-    jump = st1.filter(~F.col("fin") & (F.col("n") >= k))
-    need_row = jump.agg(
-        F.max(F.ceil(F.sqrt(F.col("dk")) / F.lit(step)) + 1).alias("need")
-    ).first()
+    # but an unproven bound. Each query expands by ITS OWN provably
+    # sufficient radius ceil(sqrt(dk))/step + 1 (clamped to max_r) —
+    # a per-query COLUMN, so a single far-out straggler cannot inflate
+    # every other query's disk. One scalar emptiness probe per round
+    # is the only per-round value that crosses to the driver.
+    jump = (
+        st1.filter(~F.col("fin") & (F.col("n") >= k))
+        .withColumn(
+            "need",
+            F.least(
+                F.greatest(
+                    F.ceil(F.sqrt(F.col("dk")) / F.lit(step)) + 1,
+                    F.lit(r1 + 1),
+                ),
+                F.lit(max_r),
+            ).cast("int"),
+        )
+        .select(*qcols, "need")
+    )
     # queries with < k candidates sit in near-empty regions where ring
     # expansion cannot bound the answer cheaply; they go to brute force
     brute_src = st1.filter(~F.col("fin") & (F.col("n") < k)).select(*qcols)
-    if need_row is not None and need_row["need"] is not None:
-        r2 = int(min(max(int(need_row["need"]), r1 + 1), max_r))
-        bound2 = ((r2 - 1) * step) ** 2
-        topk2 = _disk_join_topk(pts, jump.select(*qcols), r2, k).cache()
+    if jump.limit(1).count() > 0:
+        topk2 = _disk_join_topk(pts, jump, "need", k).cache()
         caches.append(topk2)
         stats2 = topk2.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n2"), F.max("d2").alias("dk2")
         )
+        _b = (F.col("need") - 1).cast("double") * F.lit(step)
+        bound2 = _b * _b  # same IEEE ops as the Python ((r-1)*step)**2
         st2 = (
-            jump.select("query_id")
+            jump.select("query_id", "need")
             .join(stats2, "query_id", "left")
             .withColumn(
                 "fin2",
-                (F.coalesce("n2", F.lit(0)) >= k)
-                & (F.col("dk2") <= F.lit(bound2)),
+                (F.coalesce("n2", F.lit(0)) >= k) & (F.col("dk2") <= bound2),
             )
             .cache()
         )

@@ -230,6 +230,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ways.select("id")
 
+    def bfs_hops_q(spark, sf_dir):
+        # the reference's routing surface (src/OSM.jl `path` is an
+        # empty stub): multi-source BFS hop distance over the road
+        # graph — iterative DataFrame joins, one shuffle per hop,
+        # driver sees only emptiness probes. Oracle: DuckDB
+        # recursive CTE over the same edge definition.
+        from osm_jl_spark.operators.graph import bfs_hops, way_edges
+
+        ways = _ways(spark, sf_dir)
+        edges = way_edges(ways)
+        roads = ways.filter(F.col("visible") & E.is_road("node_refs"))
+        sources = roads.filter(F.col("id") % 29 == 0).select(
+            F.element_at("node_refs", 1).cast("long").alias("node")
+        )
+        out = bfs_hops(edges, sources, max_hops=8)
+        return out.select(F.col("node").alias("node_id"), "dist")
+
+    def cell_lookup_q(spark, sf_dir):
+        # the reference Index's point-getindex (src/index.jl:55-58):
+        # all nodes in the ONE cell containing the query point — the
+        # degenerate single-cell case of the bbox path (pure pruned
+        # equality scan, no shuffle)
+        from osm_jl_spark.functions.cells import cell_lookup, with_cell
+
+        pt = (G.VITORIA_UL[0] + 0.03, G.VITORIA_LR[1] + 0.05)
+        nodes = with_cell(_nodes(spark, sf_dir), PRECISION)
+        return cell_lookup(nodes, pt[0], pt[1], PRECISION).select(
+            "id", "lon", "lat"
+        )
+
     def bbox_store_q(spark, sf_dir):
         # J6 over the cell-clustered STORE (sources/store.py): the same
         # Vitória bbox, but served by directory-level partition pruning
@@ -779,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_vitoria_nodes": bbox_nodes_q,
         "bbox_store_nodes": bbox_store_q,
         "bbox_vitoria_ways": bbox_ways_q,
+        "cell_lookup": cell_lookup_q,
+        "bfs_hops": bfs_hops_q,
         "nodes_highways": nodes_highways_q,
         "ways_buildings": ways_buildings_q,
         "highway_class_filter": highway_class_q,
@@ -903,6 +935,48 @@ WHERE CAST(trunc(lon * 100) AS BIGINT) BETWEEN {xlo} AND {xhi}
     # same rows, served via the cell-clustered store (layout changes,
     # semantics must not)
     out["bbox_store_nodes"] = out["bbox_vitoria_nodes"]
+
+    import math as _math
+
+    _clx = _math.trunc((G.VITORIA_UL[0] + 0.03) * 10**PRECISION)
+    _cly = _math.trunc((G.VITORIA_LR[1] + 0.05) * 10**PRECISION)
+    out["cell_lookup"] = f"""WITH {nodes}
+SELECT id, lon, lat FROM nodes
+WHERE CAST(trunc(lon * 100) AS BIGINT) = {_clx}
+  AND CAST(trunc(lat * 100) AS BIGINT) = {_cly}"""
+
+    # recursive-CTE BFS over the same road-graph edge definition as
+    # operators/graph.py: consecutive refs of visible open ways, both
+    # directions, self-loops dropped, UNION-deduped; dist bounded by
+    # the hop cap so the recursion terminates
+    out["bfs_hops"] = f"""WITH RECURSIVE {ways},
+wlen AS (SELECT id, max(pos) AS np FROM ways_refs GROUP BY id),
+open_ids AS (
+  SELECT w.id FROM ways w
+  JOIN ways_refs f ON f.id = w.id AND f.pos = 1
+  JOIN wlen l ON l.id = w.id
+  JOIN ways_refs g ON g.id = w.id AND g.pos = l.np
+  WHERE w.visible AND f.ref <> g.ref
+),
+rr AS (SELECT wr.id, wr.pos, wr.ref FROM ways_refs wr
+       JOIN open_ids o ON wr.id = o.id),
+e0 AS (SELECT a.ref AS src, b.ref AS dst
+       FROM rr a JOIN rr b ON a.id = b.id AND b.pos = a.pos + 1),
+edges AS (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src <> dst
+),
+srcs AS (SELECT DISTINCT ref AS node FROM rr
+         WHERE pos = 1 AND id % 29 = 0),
+bfs AS (
+  SELECT node, 0 AS dist FROM srcs
+  UNION
+  SELECT e.dst, b.dist + 1 FROM bfs b
+  JOIN edges e ON e.src = b.node WHERE b.dist < 8
+)
+SELECT CAST(node AS BIGINT) AS node_id, CAST(MIN(dist) AS BIGINT) AS dist
+FROM bfs GROUP BY node"""
 
     out["bbox_vitoria_ways"] = f"""WITH {nodes}, {ways}
 SELECT DISTINCT wr.id FROM ways_refs wr

@@ -229,10 +229,23 @@ def main() -> None:
     scaling = {}
     lo_cores, hi_cores = 2, 8
     ceilings: list[float] = []
+    scale_t0 = time.time()
+    # wall-clock bound on the whole phase: on a bad-weather day the lo
+    # level runs 2-3x slow (observed 163s -> 370s for the same job),
+    # and three full rounds would blow the driver's window. One
+    # completed (lo, hi) pair is a valid measurement; rounds after the
+    # first are noise rejection, affordable only if time remains.
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "1500"))
     for rnd in range(3):
+        if rnd > 0 and time.time() - scale_t0 > budget_s:
+            print(f"[round {rnd}] skipped: scaling phase past "
+                  f"{budget_s:.0f}s budget", file=sys.stderr, flush=True)
+            break
         # machine-capacity control adjacent to each Spark pair: what
         # lo->hi speedup do plain CPU-bound processes get RIGHT NOW?
         ceilings.append(cpu_ceiling_speedup(lo_cores, hi_cores))
+        print(f"[round {rnd}] CEILING {ceilings[-1]:.2f}",
+              file=sys.stderr, flush=True)
         for cores in (lo_cores, hi_cores):
             # CPU-PIN the whole process tree to exactly `cores` CPUs.
             # local[N] alone only limits TASK SLOTS: the JVM's GC and
@@ -269,6 +282,38 @@ def main() -> None:
                     prev = scaling.get(int(c))
                     if prev is None or float(dt) < prev[0]:
                         scaling[int(c)] = (float(dt), int(nd))
+        # Early exit once the measurement is already conclusive: extra
+        # rounds exist ONLY for noise rejection (a bad-weather window
+        # poisoning one level), and min-per-level means further rounds
+        # can only move the estimate by catching a BETTER window. If
+        # the rounds so far already show >=0.85 of both the nominal 4x
+        # and the measured machine ceiling, more rounds cannot change
+        # the gate verdict — but on a bad-weather day (lo runs 2-3x
+        # slow) they can double-to-triple a 20-minute phase. Bound the
+        # cost, keep the estimator.
+        if len(scaling) == 2:
+            _sp = (scaling[lo_cores][0] / scaling[hi_cores][0])
+            _nom = hi_cores / lo_cores
+            _ceil = max(ceilings) if ceilings else _nom
+            # PLAUSIBILITY guard on the early exit: a speedup well above
+            # both the nominal core ratio and the measured machine
+            # ceiling is not good scaling, it is a weather-poisoned lo
+            # sample (observed: lo 163s one hour, 383s the next -> a
+            # "speedup" of 8x on 4x the cores). Such a pair must NOT
+            # stop the interleave — further rounds give min-per-level a
+            # chance to replace the poisoned lo with a clean window.
+            _plausible = _sp <= max(_nom, _ceil) * 1.15
+            if (_plausible and _sp / _nom >= 0.85
+                    and _sp / _ceil >= 0.85):
+                print(f"[round {rnd}] early exit: speedup {_sp:.2f} "
+                      f"clears 0.85x of nominal and ceiling",
+                      file=sys.stderr, flush=True)
+                break
+            if not _plausible:
+                print(f"[round {rnd}] speedup {_sp:.2f} exceeds "
+                      f"plausibility bound (ceiling {_ceil:.2f}) — lo "
+                      f"sample suspect, continuing", file=sys.stderr,
+                      flush=True)
     result = {
         "metric": "flagship_e2e_sec",
         "value": round(flagship_sec, 3),
@@ -305,6 +350,11 @@ def main() -> None:
             "cpu_ceiling_speedup": round(ceiling, 2),
             "efficiency_vs_ceiling": round(min(speedup / ceiling, 1.0), 3),
         }
+        if speedup > max(hi_cores / lo_cores, ceiling) * 1.15:
+            # see the plausibility guard above: this pair's lo sample
+            # never got a clean window; flag it so a >1 "efficiency" is
+            # read as weather, not engine magic
+            result["scaling"]["lo_sample_suspect"] = True
     print(json.dumps(result))
 
 

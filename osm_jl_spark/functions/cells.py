@@ -83,6 +83,24 @@ def bbox_filter(df, ul, lr, precision: int, cx: str = "cx", cy: str = "cy"):
     )
 
 
+def cell_lookup(df, lon: float, lat: float, precision: int,
+                cx: str = "cx", cy: str = "cy"):
+    """Rows in the single cell containing (lon, lat) — the reference's
+    ``Index`` point-getindex (src/index.jl:55-58: ``getindex(i, lon,
+    lat)`` returns the one cell's element vector).
+
+    Expressed as an equality filter on the cell columns: on a
+    cell-clustered table this is one pruned partition + row-group
+    skipping, no shuffle, no UDF — the degenerate (single-cell) case of
+    ``bbox_filter``.
+    """
+    import math
+
+    x = math.trunc(lon * 10**precision)
+    y = math.trunc(lat * 10**precision)
+    return df.filter((F.col(cx) == x) & (F.col(cy) == y))
+
+
 def ring_cells(cx: int, cy: int, r: int) -> list[tuple[int, int]]:
     """Cells at Chebyshev distance exactly r from (cx, cy) — the
     expansion ring for kNN (SURVEY.md §2.3 last row). r=0 -> [(cx,cy)].

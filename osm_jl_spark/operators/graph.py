@@ -1,0 +1,105 @@
+"""Road-graph traversal — the reference's declared-but-empty routing
+surface (src/OSM.jl's ``path`` stub is a no-op; SURVEY.md §2 notes it
+as "correctly skipped"). The engine ships the primitive a router needs
+first: multi-source BFS hop distance over the way graph, as an
+ITERATIVE DataFrame algorithm (Pregel-style), because shortest-path is
+the one OSM.jl capability that is genuinely non-SQL-single-pass.
+
+Graph model (reference semantics):
+
+- Vertices are node ids as they appear in way ``node_refs`` (dangling
+  refs included — the graph is over refs, resolving coordinates is a
+  separate join, src/OSM.jl:131).
+- Edges are CONSECUTIVE ref pairs of each visible open way
+  (``is_road`` = not closed, src/elements.jl:248-250), both
+  directions. Built natively: slice/zip/explode, zero Python.
+
+Scale design (the part that must survive 100 TB):
+
+- Each BFS round is ONE shuffle join (frontier x edges) plus an
+  anti-join against the visited set; frontier and visited live in
+  DataFrames end to end. The driver sees only a 1-row emptiness probe
+  per round — query-side state never serializes through the driver
+  (same contract as operators/knn.py).
+- ``localCheckpoint`` after every round truncates lineage, so plan
+  size stays O(1) in rounds instead of O(2^rounds) — the classic
+  iterative-join failure mode.
+- At cluster scale, pre-partition ``edges`` by ``src`` (or bucket the
+  stored edge table) so every round's join co-locates on the existing
+  layout; AQE broadcasts the frontier while it is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_jl_spark.operators.elements import is_road
+
+
+def way_edges(ways: DataFrame, roads_only: bool = True) -> DataFrame:
+    """Undirected edge list (src, dst) from consecutive way refs.
+
+    Native column ops only: zip node_refs with itself shifted by one,
+    explode the pairs, mirror, distinct. ``roads_only`` keeps visible
+    open ways (the reference's road predicate).
+    """
+    w = ways
+    if roads_only:
+        w = w.filter(F.col("visible") & is_road("node_refs"))
+    n = F.size("node_refs")
+    pairs = w.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("node_refs", 1, n - 1).alias("src"),
+                F.slice("node_refs", 2, n - 1).alias("dst"),
+            )
+        ).alias("e")
+    ).select(
+        F.col("e.src").cast("long").alias("src"),
+        F.col("e.dst").cast("long").alias("dst"),
+    )
+    return (
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def bfs_hops(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Multi-source BFS: (node, dist) for every node within
+    ``max_hops`` edges of any source node, dist = hop count to the
+    NEAREST source (0 for the sources themselves).
+
+    ``edges`` is a directed edge list (src, dst) — pass the output of
+    :func:`way_edges` for undirected semantics. ``sources`` must have a
+    ``node`` column. Equivalent to the DuckDB recursive-CTE oracle
+    registered as ``bfs_hops`` in ``__spark_entry__.py``.
+    """
+    frontier = (
+        sources.select(F.col("node").cast("long"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint()  # truncate lineage; materializes eagerly
+        )
+        if nxt.limit(1).count() == 0:  # scalar emptiness probe only
+            break
+        # plain union of checkpointed parts: lineage stays R shallow
+        # leaves — no re-materialization of the whole visited set
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

@@ -42,6 +42,27 @@ def test_bbox_cell_range_vitoria():
     assert (ylo, yhi) == (-2032, -2022)
 
 
+def test_cell_lookup_single_cell(spark):
+    # point-getindex (src/index.jl:55-58): exactly the rows whose cell
+    # equals the query point's cell — degenerate bbox, negative coords
+    from osm_jl_spark.functions.cells import cell_lookup
+
+    vals = [
+        (-40.3254, -20.2743),  # same cell as the query point
+        (-40.3299, -20.2701),  # same cell (trunc -4032, -2027)
+        (-40.3354, -20.2743),  # neighbor cell in x
+        (-40.3254, -20.2843),  # neighbor cell in y
+        (40.3254, 20.2743),    # sign-flipped far cell
+    ]
+    df = with_cell(
+        spark.createDataFrame(vals, "lon DOUBLE, lat DOUBLE"), 2
+    )
+    got = cell_lookup(df, -40.3254, -20.2743, 2).select("lon", "lat")
+    assert sorted(map(tuple, got.collect())) == [
+        (-40.3299, -20.2701), (-40.3254, -20.2743),
+    ]
+
+
 def test_ring_and_disk():
     assert ring_cells(5, 5, 0) == [(5, 5)]
     r1 = ring_cells(0, 0, 1)

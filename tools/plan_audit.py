@@ -37,10 +37,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # (query name, why it is audited / what to look for)
 AUDITED = [
-    ("geoparse_points", "pages scan prunes to (url, text); geoparse is the "
-     "single ArrowEvalPython; explode stays in codegen"),
+    ("geoparse_points", "pages scan prunes to (url, text); geoparse is a "
+     "native regexp_extract_all - zero Python; explode stays in codegen"),
     ("pip_polygons", "cell encode native; cover join is BroadcastHashJoin; "
-     "exact PIP UDF only after the broadcast prefilter; zero fact shuffle"),
+     "native unrolled even-odd PIP after the broadcast prefilter; zero fact shuffle"),
     ("bbox_vitoria_nodes", "pure native range filter on the cell columns "
      "- no UDF, no join, no shuffle"),
     ("tile_rollup", "multi-resolution rollup in ONE shuffle (single "

@@ -418,6 +418,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = _neardup_corpus(_pq(spark, sf_dir, "documents"))
         return D.simhash_near_dups(corpus, max_hamming=3, hash_fn="md5_60")
 
+    def dedup_clusters_q(spark, sf_dir):
+        # near-dup pair graph -> cluster labels: the step a training
+        # pipeline runs after pair generation (keep one doc per
+        # cluster). Iterative min-label propagation, labels in
+        # DataFrames end to end (operators/graph.py). Oracle: DuckDB
+        # recursive CTE computing min reachable id over the same
+        # exact-jaccard edge set.
+        from osm_jl_spark.operators.graph import connected_components
+
+        corpus = _neardup_corpus(_pq(spark, sf_dir, "documents"))
+        pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5)
+        e = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        edges = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        cc = connected_components(edges)
+        return cc.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("comp").cast("long").alias("cluster_id"),
+        )
+
     def embedding_knn_q(spark, sf_dir):
         emb = _pq(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
@@ -829,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "minhash_pairs": minhash_pairs_q,
         "simhash_pairs": simhash_pairs_q,
+        "dedup_clusters": dedup_clusters_q,
         "embedding_knn": embedding_knn_q,
         "embedding_near_dups": embedding_near_dups_q,
         "ivf_knn": ivf_knn_q,
@@ -1116,6 +1140,30 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5"""
+
+    # same jaccard>=0.5 edge set, then min-reachable-id per node via a
+    # recursive CTE — the oracle for the iterative min-label
+    # propagation in operators/graph.py:connected_components
+    out["dedup_clusters"] = f"""WITH RECURSIVE {shingle_ctes},
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+)
+SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+FROM reach GROUP BY n"""
 
     out["embedding_knn"] = """WITH
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

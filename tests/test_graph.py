@@ -103,3 +103,48 @@ def test_bfs_early_termination(spark):
         (1, 0),
         (2, 1),
     ]
+
+
+def test_connected_components_min_label(spark):
+    # two chains and a triangle; labels must be the min id per
+    # component, and a 5-node path needs several propagation rounds
+    from osm_jl_spark.operators.graph import connected_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),  # path, diameter 4
+             (10, 11), (11, 12), (12, 10),     # triangle
+             (20, 21)]                         # single edge
+    e = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    edges = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    got = {r["node"]: r["comp"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_vs_python_union_find(spark):
+    # randomized-ish fixture (deterministic seed via modular arith)
+    # checked against a pure-Python union-find oracle
+    from osm_jl_spark.operators.graph import connected_components
+
+    pairs = [((i * 7919) % 97, (i * 104729) % 97) for i in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    e = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    edges = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    got = {r["node"]: r["comp"]
+           for r in connected_components(edges).collect()}
+    assert got == want

@@ -247,6 +247,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = bfs_hops(edges, sources, max_hops=8)
         return out.select(F.col("node").alias("node_id"), "dist")
 
+    def shortest_paths_q(spark, sf_dir):
+        # weighted routing over the same road graph: Bellman-Ford
+        # relaxation rounds (operators/graph.py:shortest_paths).
+        # Weights are integers derived from the endpoint ids so the
+        # DuckDB recursive-CTE oracle reproduces every sum exactly
+        # (integer addition is order-independent; metre weights slot
+        # into the same column in production).
+        from osm_jl_spark.operators.graph import shortest_paths, way_edges
+
+        ways = _ways(spark, sf_dir)
+        wedges = way_edges(ways).withColumn(
+            "w",
+            (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(7)))
+            .cast("long"),
+        )
+        roads = ways.filter(F.col("visible") & E.is_road("node_refs"))
+        sources = roads.filter(F.col("id") % 29 == 0).select(
+            F.element_at("node_refs", 1).cast("long").alias("node")
+        )
+        out = shortest_paths(wedges, sources, max_hops=6)
+        return out.select(F.col("node").alias("node_id"), "dist")
+
     def cell_lookup_q(spark, sf_dir):
         # the reference Index's point-getindex (src/index.jl:55-58):
         # all nodes in the ONE cell containing the query point — the
@@ -441,6 +463,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("comp").cast("long").alias("cluster_id"),
         )
 
+    def contamination_q(spark, sf_dir):
+        # train/eval decontamination: eval items are 15-token
+        # prefixes of a sample of docs; flag train docs containing
+        # >=80% of an eval item's trigram shingles. The near-dup
+        # corpus makes the asymmetry visible: the '+extratoken'
+        # variant has MORE shingles than the eval prefix (jaccard
+        # would dilute below 1.0) yet containment stays 1.0.
+        corpus = _neardup_corpus(_pq(spark, sf_dir, "documents"))
+        from osm_jl_spark.functions.text import tokens_col
+
+        ev = corpus.filter(
+            (F.col("doc_id") % 37 == 0) & (F.col("doc_id") < 150)
+        ).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(tokens_col("text"), 1, 15))
+            .alias("text"),
+        )
+        return D.contamination_pairs(corpus, ev, threshold=0.8).select(
+            "train_id", "eval_id", "containment"
+        )
+
+    def hash_sample_q(spark, sf_dir):
+        # deterministic rate sampling: hash(doc_id) < f*2^60 — a
+        # narrow zero-shuffle filter whose membership is stable
+        # across reruns and partition layouts, and nested across
+        # rates (operators/sampling.py)
+        from osm_jl_spark.operators.sampling import hash_sample
+
+        docs = _pq(spark, sf_dir, "documents")
+        return hash_sample(docs, 0.25).select("doc_id", "lang")
+
+    def stratified_sample_q(spark, sf_dir):
+        # exactly k docs per language, picked by hash rank — the
+        # deterministic per-stratum cap a corpus-mixing step needs
+        from osm_jl_spark.operators.sampling import stratified_sample
+
+        docs = _pq(spark, sf_dir, "documents")
+        return stratified_sample(docs, ["lang"], k=20).select(
+            "doc_id", "lang"
+        )
+
     def embedding_knn_q(spark, sf_dir):
         emb = _pq(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
@@ -512,6 +575,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             uniq_token_ratio_col("text").alias("uniq_ratio"),
             stopword_ratio_col("text").alias("stop_ratio"),
         )
+
+    def repetition_scores_q(spark, sf_dir):
+        # Gopher-style repetition signal: share of a doc's 2-grams
+        # taken by its most frequent 2-gram (operators/quality.py:
+        # explode + two map-side-combinable aggs, no per-row fold)
+        from osm_jl_spark.operators.quality import repetition_scores
+
+        docs = _pq(spark, sf_dir, "documents")
+        return repetition_scores(docs, n=2)
+
+    def corpus_clean_q(spark, sf_dir):
+        # the composite a C4-style cleanup runs as ONE plan: quality
+        # gates (length / stopword / uniq-token / repetition) ->
+        # exact dedup keep-min -> deterministic 50% hash sample.
+        # Everything is native and the whole chain is a single
+        # Catalyst plan: the quality gates fuse into the scan
+        # projection, dedup is one shuffle, the sampler is a filter.
+        from osm_jl_spark.operators.quality import repetition_scores
+        from osm_jl_spark.operators.sampling import hash_sample
+
+        docs = _pq(spark, sf_dir, "documents")
+        scored = docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            token_count_col("text").alias("nt"),
+            uniq_token_ratio_col("text").alias("uq"),
+            stopword_ratio_col("text").alias("st"),
+        )
+        rep = repetition_scores(docs, n=2).select(
+            "doc_id", "repetition_ratio"
+        )
+        kept = (
+            scored.join(rep, "doc_id")
+            .filter(
+                (F.col("nt") >= 10)
+                & (F.col("uq") >= 0.3)
+                & (F.col("st") >= 0.05)
+                & (F.col("repetition_ratio") <= 0.2)
+            )
+        )
+        deduped = D.exact_dedup(kept)
+        return hash_sample(deduped, 0.5).select("doc_id", "lang")
 
     def token_count_by_lang_q(spark, sf_dir):
         docs = _pq(spark, sf_dir, "documents")
@@ -834,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_vitoria_ways": bbox_ways_q,
         "cell_lookup": cell_lookup_q,
         "bfs_hops": bfs_hops_q,
+        "shortest_paths": shortest_paths_q,
         "nodes_highways": nodes_highways_q,
         "ways_buildings": ways_buildings_q,
         "highway_class_filter": highway_class_q,
@@ -853,11 +960,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": minhash_pairs_q,
         "simhash_pairs": simhash_pairs_q,
         "dedup_clusters": dedup_clusters_q,
+        "contamination": contamination_q,
+        "hash_sample": hash_sample_q,
+        "stratified_sample": stratified_sample_q,
         "embedding_knn": embedding_knn_q,
         "embedding_near_dups": embedding_near_dups_q,
         "ivf_knn": ivf_knn_q,
         "ivf_knn_exhaustive": ivf_knn_exhaustive_q,
         "text_quality": text_quality_q,
+        "repetition_scores": repetition_scores_q,
+        "corpus_clean": corpus_clean_q,
         "token_count_by_lang": token_count_by_lang_q,
         "lang_id": lang_id_q,
         "doc_fingerprints": fingerprint_q,
@@ -1001,6 +1113,39 @@ bfs AS (
 )
 SELECT CAST(node AS BIGINT) AS node_id, CAST(MIN(dist) AS BIGINT) AS dist
 FROM bfs GROUP BY node"""
+
+    # weighted variant: min total weight over walks of <= 6 edges,
+    # hop-bounded so the recursion terminates on cyclic road graphs;
+    # the Spark side runs exactly 6 Bellman-Ford rounds (graph.py)
+    out["shortest_paths"] = f"""WITH RECURSIVE {ways},
+wlen AS (SELECT id, max(pos) AS np FROM ways_refs GROUP BY id),
+open_ids AS (
+  SELECT w.id FROM ways w
+  JOIN ways_refs f ON f.id = w.id AND f.pos = 1
+  JOIN wlen l ON l.id = w.id
+  JOIN ways_refs g ON g.id = w.id AND g.pos = l.np
+  WHERE w.visible AND f.ref <> g.ref
+),
+rr AS (SELECT wr.id, wr.pos, wr.ref FROM ways_refs wr
+       JOIN open_ids o ON wr.id = o.id),
+e0 AS (SELECT a.ref AS src, b.ref AS dst
+       FROM rr a JOIN rr b ON a.id = b.id AND b.pos = a.pos + 1),
+edges AS (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src <> dst
+),
+wedges AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM edges),
+srcs AS (SELECT DISTINCT ref AS node FROM rr
+         WHERE pos = 1 AND id % 29 = 0),
+sp AS (
+  SELECT node, CAST(0 AS BIGINT) AS d, 0 AS h FROM srcs
+  UNION
+  SELECT e.dst, s.d + e.w, s.h + 1 FROM sp s
+  JOIN wedges e ON e.src = s.node WHERE s.h < 6
+)
+SELECT CAST(node AS BIGINT) AS node_id, CAST(MIN(d) AS BIGINT) AS dist
+FROM sp GROUP BY node"""
 
     out["bbox_vitoria_ways"] = f"""WITH {nodes}, {ways}
 SELECT DISTINCT wr.id FROM ways_refs wr
@@ -1165,6 +1310,51 @@ reach(n, m) AS (
 SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
 FROM reach GROUP BY n"""
 
+    # asymmetric containment over the same shingle machinery: eval
+    # items are 15-token prefixes of doc_id % 37 == 0 docs; a train
+    # doc is contaminated when it holds >=80% of the eval shingles
+    out["contamination"] = f"""WITH {_NEARDUP_SQL},
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM neardup
+),
+ev AS (
+  SELECT doc_id AS eval_id,
+         list_filter(list_slice(tk, 1, 15), t -> t <> '') AS tk
+  FROM toks WHERE doc_id % 37 = 0 AND doc_id < 150
+),
+pos AS (SELECT range + 1 AS j FROM range(200)),
+tsh AS (
+  SELECT DISTINCT t.doc_id, array_to_string(list_slice(t.tk, p.j, p.j + 2), ' ') AS s
+  FROM toks t, pos p WHERE p.j <= len(t.tk) - 2
+),
+esh AS (
+  SELECT DISTINCT e.eval_id, array_to_string(list_slice(e.tk, p.j, p.j + 2), ' ') AS s
+  FROM ev e, pos p WHERE p.j <= len(e.tk) - 2
+),
+esz AS (SELECT eval_id, count(*) AS sz FROM esh GROUP BY 1),
+icnt AS (
+  SELECT t.doc_id AS train_id, e.eval_id, count(*) AS i
+  FROM tsh t JOIN esh e ON t.s = e.s GROUP BY 1, 2
+)
+SELECT i.train_id, i.eval_id, i.i / z.sz AS containment
+FROM icnt i JOIN esz z ON z.eval_id = i.eval_id
+WHERE i.i / z.sz >= 0.8"""
+
+    # 60-bit md5-prefix rank, identical to sampling._rank_hash;
+    # 0.25 * 2^60 == 1 << 58 exactly
+    _rk = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
+           "AS BIGINT)")
+    out["hash_sample"] = f"""SELECT doc_id, lang FROM documents
+WHERE {_rk} < {1 << 58}"""
+
+    out["stratified_sample"] = f"""WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {_rk}, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rk <= 20"""
+
     out["embedding_knn"] = """WITH
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -1202,6 +1392,66 @@ SELECT doc_id,
             THEN len(list_filter(tk, x -> list_contains({stop_list}, x))) / len(tk)
             ELSE 0.0 END AS stop_ratio
 FROM t"""
+
+    out["repetition_scores"] = """WITH
+t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+pos AS (SELECT range + 1 AS j FROM range(200)),
+g AS (
+  SELECT t.doc_id, array_to_string(list_slice(t.tk, p.j, p.j + 1), ' ') AS gram
+  FROM t, pos p WHERE p.j <= len(t.tk) - 1
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(max(c) AS BIGINT) AS top_ngram_count,
+       CAST(sum(c) AS BIGINT) AS ngram_total,
+       CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS repetition_ratio
+FROM c GROUP BY doc_id"""
+
+    # composite C4-style cleanup: quality gates + repetition gate ->
+    # exact-dedup keep-min -> deterministic 50% hash sample
+    out["corpus_clean"] = f"""WITH
+t AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, text, len(tk) AS nt,
+         CASE WHEN len(tk) > 0
+              THEN len(list_distinct(tk)) / len(tk) ELSE 0.0 END AS uq,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, x -> list_contains({stop_list}, x))) / len(tk)
+              ELSE 0.0 END AS st
+  FROM t
+),
+pos AS (SELECT range + 1 AS j FROM range(200)),
+g AS (
+  SELECT t.doc_id, array_to_string(list_slice(t.tk, p.j, p.j + 1), ' ') AS gram
+  FROM t, pos p WHERE p.j <= len(t.tk) - 1
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+r AS (
+  SELECT doc_id,
+         CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS rr
+  FROM c GROUP BY doc_id
+),
+kept AS (
+  SELECT q.doc_id, q.lang, q.text
+  FROM q JOIN r ON r.doc_id = q.doc_id
+  WHERE q.nt >= 10 AND q.uq >= 0.3 AND q.st >= 0.05 AND r.rr <= 0.2
+),
+k AS (
+  SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS doc_id
+  FROM kept GROUP BY 1
+)
+SELECT kept.doc_id, kept.lang
+FROM kept JOIN k ON k.doc_id = kept.doc_id
+WHERE CAST('0x' || substr(md5(CAST(kept.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      < {1 << 59}"""
 
     out["token_count_by_lang"] = """WITH
 t AS (

@@ -202,8 +202,16 @@ def main() -> None:
     if not os.path.exists(scale_path):
         G.load_pages(spark, SCALING_DOCS).write.mode("overwrite").parquet(
             scale_path)
+    spark.stop()
 
-    # flagship end-to-end + tile throughput at the sf scale
+    # flagship end-to-end + tile throughput at the sf scale, in a
+    # FRESH session: the query loop above leaves the iterative
+    # operators' localCheckpoint blocks (knn_ring_10k alone pins
+    # dozens) in the block manager, and measuring the headline number
+    # through that debris recorded a 7x phantom regression once —
+    # 15.7s in-session vs 2.5s clean, same code, same data
+    spark = get_spark(app="bench-flagship", cores=CPUS,
+                      shuffle_partitions=CPUS, driver_memory="48g")
     _flagship_from_parquet(spark, sf_path).count()  # warm
     flagship_sec = float("inf")
     for _ in range(3):
@@ -303,10 +311,10 @@ def main() -> None:
             # stop the interleave — further rounds give min-per-level a
             # chance to replace the poisoned lo with a clean window.
             _plausible = _sp <= max(_nom, _ceil) * 1.15
-            if (_plausible and _sp / _nom >= 0.85
-                    and _sp / _ceil >= 0.85):
+            if (_plausible and _sp / _nom >= 0.82
+                    and _sp / _ceil >= 0.82):
                 print(f"[round {rnd}] early exit: speedup {_sp:.2f} "
-                      f"clears 0.85x of nominal and ceiling",
+                      f"clears 0.82x of nominal and ceiling",
                       file=sys.stderr, flush=True)
                 break
             if not _plausible:

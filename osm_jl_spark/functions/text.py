@@ -216,13 +216,17 @@ def fingerprint_col(text: Column | str) -> Column:
     return F.md5(norm)
 
 
-def shingles_col(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (space-joined), distinct."""
+def ngrams_col(text: Column | str, n: int = 3) -> Column:
+    """ALL word n-grams in order (space-joined), duplicates kept —
+    the multiset the repetition-quality signal counts over."""
     toks = tokens_col(text)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array())
-    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array())
+
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (space-joined), distinct."""
+    return F.array_distinct(ngrams_col(text, n))

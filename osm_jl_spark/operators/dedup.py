@@ -402,3 +402,54 @@ def embedding_near_dups(
             "cosine",
         )
     )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval decontamination: (train_id, eval_id, containment)
+    where containment = |shingles(eval) ∩ shingles(train)| /
+    |shingles(eval)| — the standard benchmark-contamination test a
+    training pipeline runs before a corpus ships (an eval item counts
+    as leaked into a training doc when most of its n-grams appear
+    there, even if the training doc is much longer, which is why this
+    is containment and not jaccard).
+
+    Plan: inverted-index join on shingle hash — the same index shape
+    as :func:`ngram_jaccard_pairs`, but ASYMMETRIC: only
+    (train x eval) shingle matches pair up, never train x train, so
+    the hot-shingle blowup is bounded by the EVAL side's document
+    frequency. Benchmark sets are dimension-sized (10^3-10^6 items vs
+    10^9+ training docs), so with ``broadcast_eval`` the join is a
+    broadcast hash join over the streaming train scan — zero shuffle
+    of the 100 TB side; the per-pair count is a map-side-combinable
+    groupBy on (train_id, eval_id), which only carries matched pairs.
+    """
+    tr = _shingle_hashes(train, id_col, text_col, shingle_n, hash_fn)
+    ev = _shingle_hashes(eval_docs, id_col, text_col, shingle_n, hash_fn)
+    ev_sizes = ev.groupBy("id").agg(F.count(F.lit(1)).alias("ev_sz"))
+    if broadcast_eval:
+        ev, ev_sizes = F.broadcast(ev), F.broadcast(ev_sizes)
+    inter = (
+        tr.alias("t")
+        .join(ev.alias("e"), F.col("t.sh") == F.col("e.sh"))
+        .groupBy(
+            F.col("t.id").alias("train_id"),
+            F.col("e.id").alias("eval_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(ev_sizes.select(F.col("id").alias("eval_id"), "ev_sz"),
+                   "eval_id")
+        .withColumn("containment", F.col("inter") / F.col("ev_sz"))
+        .filter(F.col("containment") >= threshold)
+        .select("train_id", "eval_id", "containment")
+    )

@@ -176,3 +176,70 @@ def connected_components(
         if moved == 0:
             break
     return labels
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "w",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths: (node, dist) =
+    minimum total edge weight over walks of at most ``max_hops`` edges
+    from any source — the routing core behind the reference's declared
+    ``path`` surface (src/OSM.jl stub; :func:`bfs_hops` is the
+    unweighted case).
+
+    ``edges`` carries (src, dst, ``weight_col``); weights must be
+    non-negative (BIGINT recommended — integer sums are
+    order-independent, which is what makes the result oracle-equal
+    across engines; metre-valued haversine weights drop into the same
+    column in production where cross-engine bit-parity is not a
+    constraint).
+
+    Algorithm: Bellman-Ford relaxation, one round per hop. After
+    round r every node holds the exact min weight over walks of <= r
+    edges, so running to ``max_hops`` (>= graph diameter) is exact
+    SSSP. Each round is one shuffle join (dist x edges) + one
+    groupBy-min; distances stay in DataFrames end to end and the
+    driver sees only a 1-row improvement probe, the same contract as
+    :func:`bfs_hops` / :func:`connected_components`. Early exit when
+    a round relaxes nothing. At cluster scale pre-partition ``edges``
+    by ``src`` so every round's join co-locates; AQE broadcasts the
+    distance frontier while it is small.
+    """
+    dist = (
+        sources.select(F.col("node").cast("long"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(max_hops):
+        cand = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col(weight_col)).alias("dist"),
+            )
+        )
+        new_dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()  # truncate lineage; materializes eagerly
+        )
+        # improvement probe: any node new or strictly closer? 1 row.
+        improved = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), "node", "left")
+            .filter(
+                F.col("o.dist").isNull()
+                | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .limit(1)
+            .count()
+        )
+        dist = new_dist
+        if improved == 0:
+            break
+    return dist

@@ -100,3 +100,42 @@ def test_ivf_self_is_rank1(spark):
     rows = S.ivf_topk(assigned, cents, q, k=1, nprobe=2).collect()
     for r in rows:
         assert r["neighbor_id"] == r["query_id"]
+
+
+def test_contamination_pairs(spark):
+    # eval item 100 is verbatim inside train doc 1 (containment 1.0
+    # despite doc 1 being longer -> jaccard would miss it); eval 101
+    # shares nothing
+    train = spark.createDataFrame(
+        [
+            (1, "header text the quick brown fox jumps over the lazy "
+                "dog trailer text"),
+            (2, "completely different text about spark dataframes"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "unrelated benchmark question about tiles"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = D.contamination_pairs(train, ev, threshold=0.8).collect()
+    assert [(r["train_id"], r["eval_id"], r["containment"])
+            for r in got] == [(1, 100, 1.0)]
+
+
+def test_contamination_threshold_partial(spark):
+    # 4 tokens shared of eval's 6 -> 2 of 4 trigram shingles present
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta other words here")],
+        "doc_id BIGINT, text STRING",
+    )
+    ev = spark.createDataFrame(
+        [(200, "alpha beta gamma delta epsilon zeta")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = D.contamination_pairs(train, ev, threshold=0.4).collect()
+    assert len(out) == 1 and out[0]["containment"] == 0.5
+    assert D.contamination_pairs(train, ev, threshold=0.6).count() == 0

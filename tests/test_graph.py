@@ -148,3 +148,51 @@ def test_connected_components_vs_python_union_find(spark):
     got = {r["node"]: r["comp"]
            for r in connected_components(edges).collect()}
     assert got == want
+
+
+def test_shortest_paths_vs_python_dijkstra(spark):
+    # weighted diamond + chain; checked against a pure-Python
+    # Dijkstra oracle (weights integer, graph symmetric)
+    import heapq
+
+    from osm_jl_spark.operators.graph import shortest_paths
+
+    wedges = [(1, 2, 4), (1, 3, 1), (3, 2, 1), (2, 4, 5),
+              (3, 4, 10), (4, 5, 1), (6, 7, 2)]
+    sym = wedges + [(b, a, w) for a, b, w in wedges]
+    adj = {}
+    for a, b, w in sym:
+        adj.setdefault(a, []).append((b, w))
+    want, pq = {}, [(0, 1), (0, 6)]
+    while pq:
+        d, n = heapq.heappop(pq)
+        if n in want:
+            continue
+        want[n] = d
+        for m, w in adj.get(n, []):
+            if m not in want:
+                heapq.heappush(pq, (d + w, m))
+
+    e = spark.createDataFrame(sym, "src LONG, dst LONG, w LONG")
+    s = spark.createDataFrame([(1,), (6,)], "node LONG")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(e, s, max_hops=10).collect()}
+    assert got == want
+
+
+def test_shortest_paths_hop_bound(spark):
+    # a 2-hop cheap detour vs a 1-hop expensive edge: with
+    # max_hops=1 only the direct edge is reachable; with 2 the
+    # detour wins — pins the "min over walks of <= H edges" contract
+    from osm_jl_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 1)], "src LONG, dst LONG, w LONG"
+    )
+    s = spark.createDataFrame([(1,)], "node LONG")
+    one = {r["node"]: r["dist"]
+           for r in shortest_paths(e, s, max_hops=1).collect()}
+    two = {r["node"]: r["dist"]
+           for r in shortest_paths(e, s, max_hops=2).collect()}
+    assert one == {1: 0, 2: 10, 3: 1}
+    assert two == {1: 0, 2: 2, 3: 1}

@@ -1,0 +1,33 @@
+"""Repetition-quality signal (operators/quality.py)."""
+
+from osm_jl_spark.operators.quality import repetition_scores
+
+
+def test_repetition_ratio_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),   # spam
+            (2, "the quick brown fox jumps over dogs"),  # clean prose
+            (3, "one"),                                # < 2 tokens
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(docs, n=2).collect()}
+    # doc 1: 7 bigrams, 'buy now' x4 -> 4/7
+    assert got[1]["top_ngram_count"] == 4
+    assert got[1]["ngram_total"] == 7
+    assert abs(got[1]["repetition_ratio"] - 4 / 7) < 1e-12
+    # doc 2: 6 distinct bigrams -> 1/6
+    assert got[2]["top_ngram_count"] == 1
+    assert got[2]["ngram_total"] == 6
+    # doc 3: no bigrams -> no row (no signal)
+    assert 3 not in got
+
+
+def test_repetition_trigram_order(spark):
+    # n=3: "a b a b a" -> trigrams: 'a b a','b a b','a b a' -> top 2/3
+    docs = spark.createDataFrame(
+        [(1, "a b a b a")], "doc_id BIGINT, text STRING"
+    )
+    r = repetition_scores(docs, n=3).collect()[0]
+    assert (r["top_ngram_count"], r["ngram_total"]) == (2, 3)

@@ -67,6 +67,14 @@ def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int,
     hash_fn: 'xxhash64' (default — fastest, Spark-only) or 'md5_60'
     (cross-engine: bit-identical in DuckDB, used by the oracle-checked
     query registrations; ~2x slower per shingle, same plan shape).
+
+    NO distinct here: ``shingles_col`` already array_distincts per
+    document BEFORE the explode, so (id, sh) is unique map-side and a
+    post-explode distinct would be a pure extra shuffle of the whole
+    shingle set (it was, until the plan audit caught it). Hash
+    collisions inside one doc could in principle re-merge two
+    shingles; at 60/64 bits that is ~(grams²)/2⁶⁴ per doc — ignored,
+    like every other use of these hashes.
     """
     sh = (
         F.xxhash64("shingle") if hash_fn == "xxhash64"
@@ -78,7 +86,6 @@ def _shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int,
             F.explode(shingles_col(text_col, n)).alias("shingle"),
         )
         .select("id", sh.alias("sh"))
-        .distinct()
     )
 
 

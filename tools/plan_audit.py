@@ -62,6 +62,14 @@ AUDITED = [
     ("bbox_store_nodes", "cell-clustered store: PartitionFilters on the "
      "lon-cell stripe (directory pruning) + PushedFilters on (cx, cy) "
      "(row-group skipping); zero shuffle, zero Python"),
+    ("contamination", "asymmetric containment: eval shingles broadcast "
+     "(both the index and the sizes dim) - the train side never "
+     "shuffles; per-pair count is map-side combinable"),
+    ("hash_sample", "deterministic sampler is a pure narrow filter on "
+     "md5 rank: no shuffle, no window, composes with the scan"),
+    ("corpus_clean", "quality gates fuse into the scan projection; "
+     "repetition join + fingerprint dedup are the only shuffles; the "
+     "50% sampler stays a filter"),
 ]
 
 

@@ -619,6 +619,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         deduped = D.exact_dedup(kept)
         return hash_sample(deduped, 0.5).select("doc_id", "lang")
 
+    def pack_sequences_q(spark, sf_dir):
+        # LLM-pretraining sequence packing: deterministic corpus
+        # order, exclusive cumulative token offsets, fixed-budget
+        # sequence ids — two-level distributed prefix sum
+        # (operators/packing.py); the oracle runs the flat global
+        # window, results must be bit-equal
+        from osm_jl_spark.operators.packing import pack_sequences
+
+        docs = _pq(spark, sf_dir, "documents")
+        return pack_sequences(docs, budget=2048)
+
     def token_count_by_lang_q(spark, sf_dir):
         docs = _pq(spark, sf_dir, "documents")
         return (
@@ -970,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality_q,
         "repetition_scores": repetition_scores_q,
         "corpus_clean": corpus_clean_q,
+        "pack_sequences": pack_sequences_q,
         "token_count_by_lang": token_count_by_lang_q,
         "lang_id": lang_id_q,
         "doc_fingerprints": fingerprint_q,
@@ -1452,6 +1464,29 @@ SELECT kept.doc_id, kept.lang
 FROM kept JOIN k ON k.doc_id = kept.doc_id
 WHERE CAST('0x' || substr(md5(CAST(kept.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
       < {1 << 59}"""
+
+    # flat global-window spelling of the two-level prefix sum in
+    # operators/packing.py — integer token counts, so offsets must
+    # match bit for bit
+    out["pack_sequences"] = """WITH
+t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS rk
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+            ORDER BY rk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_offset,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+            ORDER BY rk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 2048 AS BIGINT) AS seq_id
+FROM t"""
 
     out["token_count_by_lang"] = """WITH
 t AS (

@@ -463,6 +463,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("comp").cast("long").alias("cluster_id"),
         )
 
+    def neardup_keep_best_q(spark, sf_dir):
+        # pair graph -> clusters -> keep the BEST doc per cluster
+        # (most tokens, tie min id): the '+extratoken' variants are
+        # one token longer than their sources, so the kept doc is the
+        # HIGHER id of each pair — pins that this is argmax-by-score,
+        # not exact dedup's min-id
+        from osm_jl_spark.functions.text import token_count_col
+
+        corpus = _neardup_corpus(_pq(spark, sf_dir, "documents"))
+        pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5)
+        return D.neardup_keep_best(
+            corpus, pairs, token_count_col("text")
+        ).select(
+            F.col("cluster_id").cast("long"),
+            F.col("keep_id").cast("long"),
+        )
+
     def contamination_q(spark, sf_dir):
         # train/eval decontamination: eval items are 15-token
         # prefixes of a sample of docs; flag train docs containing
@@ -972,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs_q,
         "dedup_clusters": dedup_clusters_q,
         "contamination": contamination_q,
+        "neardup_keep_best": neardup_keep_best_q,
         "hash_sample": hash_sample_q,
         "stratified_sample": stratified_sample_q,
         "embedding_knn": embedding_knn_q,
@@ -1321,6 +1339,43 @@ reach(n, m) AS (
 )
 SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
 FROM reach GROUP BY n"""
+
+    # same cluster labels, then argmax-by-(token count, min id) per
+    # cluster; singleton docs are their own cluster
+    out["neardup_keep_best"] = f"""WITH RECURSIVE {shingle_ctes},
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+),
+labels AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n),
+scored AS (
+  SELECT nd.doc_id,
+         COALESCE(l.comp, nd.doc_id) AS cluster_id,
+         len(list_filter(string_split(nd.text, ' '), x -> x <> '')) AS s
+  FROM neardup nd LEFT JOIN labels l ON l.doc_id = nd.doc_id
+),
+best AS (
+  SELECT cluster_id, doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY s DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(doc_id AS BIGINT) AS keep_id
+FROM best WHERE rk = 1"""
 
     # asymmetric containment over the same shingle machinery: eval
     # items are 15-token prefixes of doc_id % 37 == 0 docs; a train

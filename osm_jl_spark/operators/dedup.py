@@ -460,3 +460,45 @@ def contamination_pairs(
         .filter(F.col("containment") >= threshold)
         .select("train_id", "eval_id", "containment")
     )
+
+
+def neardup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(cluster_id, keep_id): collapse a near-duplicate pair graph to
+    one representative per cluster — the doc with the highest
+    ``score`` (a Column over ``docs``; ties broken by smallest id).
+    This is the step that turns pair generation (minhash / jaccard /
+    simhash output) into the corpus a pipeline actually ships: unlike
+    exact dedup, the kept doc should be the BEST of its cluster
+    (longest, highest quality), not the lowest id.
+
+    Plan: mirror the pairs, label clusters with
+    :func:`osm_jl_spark.operators.graph.connected_components` (labels
+    stay in DataFrames), left-join labels onto the corpus (singletons
+    become their own cluster), then one groupBy taking
+    ``max(struct(score, -id))`` — argmax as a single map-side
+    combinable aggregate, no window over the corpus.
+    """
+    from osm_jl_spark.operators.graph import connected_components
+
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cc = connected_components(edges)
+    labeled = (
+        docs.select(F.col(id_col).alias("id"), score.alias("s"))
+        .join(cc.withColumnRenamed("node", "id"), "id", "left")
+        .withColumn("comp", F.coalesce("comp", F.col("id")))
+    )
+    best = labeled.groupBy("comp").agg(
+        F.max(F.struct(F.col("s"), (-F.col("id")).alias("nid"))).alias("b")
+    )
+    return best.select(
+        F.col("comp").alias("cluster_id"),
+        (-F.col("b.nid")).alias("keep_id"),
+    )

@@ -133,3 +133,38 @@ def streaming_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """First-seen exact dedup over a document stream: emit each
+    distinct content fingerprint's FIRST document, drop every later
+    byte-identical repeat — the streaming form of
+    ``operators/dedup.exact_dedup`` (an ingest pipeline dedups at the
+    door instead of re-scanning the corpus per batch).
+
+    State design: ``dropDuplicates`` on the md5 fingerprint keeps one
+    compact key per distinct document in the state store — state size
+    tracks UNIQUE content, not stream length. Unbounded retention is
+    still unbounded state at 10^12 docs, so production passes
+    ``ts``/``watermark`` to switch to
+    ``dropDuplicatesWithinWatermark`` (re-admits a duplicate only
+    after its original has aged out of the watermark horizon — the
+    standard trade for bounded state).
+
+    Equivalence contract (pinned by tests): when the stream delivers
+    documents in id order, the kept set is exactly the batch
+    ``exact_dedup`` keep-min-id answer, across micro-batch boundaries.
+    """
+    from osm_jl_spark.functions.text import fingerprint_col
+
+    d = stream.withColumn("fp", fingerprint_col(text_col))
+    if ts is not None and watermark is not None:
+        return d.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+            ["fp"]
+        )
+    return d.dropDuplicates(["fp"])

@@ -139,3 +139,29 @@ def test_contamination_threshold_partial(spark):
     out = D.contamination_pairs(train, ev, threshold=0.4).collect()
     assert len(out) == 1 and out[0]["containment"] == 0.5
     assert D.contamination_pairs(train, ev, threshold=0.6).count() == 0
+
+
+def test_neardup_keep_best_argmax_not_min_id(spark):
+    # cluster {1,2,3}: doc 2 is longest -> kept despite not min id;
+    # doc 9 is a singleton -> own cluster
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c d e"),
+            (3, "a b c d"),
+            (9, "unrelated text entirely"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a BIGINT, id_b BIGINT"
+    )
+    from osm_jl_spark.functions.text import token_count_col
+
+    got = {
+        (r["cluster_id"], r["keep_id"])
+        for r in D.neardup_keep_best(
+            docs, pairs, token_count_col("text")
+        ).collect()
+    }
+    assert got == {(1, 2), (9, 9)}

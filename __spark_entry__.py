@@ -247,6 +247,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = bfs_hops(edges, sources, max_hops=8)
         return out.select(F.col("node").alias("node_id"), "dist")
 
+    def way_areas_q(spark, sf_dir):
+        # signed shoelace area of every closed visible way, in exact
+        # integer 1e-5-degree² units (functions/geo.py:
+        # shoelace_area2_col) — integer sums are order-independent,
+        # so the value is bit-equal across engines and partitionings
+        from osm_jl_spark.functions.geo import shoelace_area2_col
+        from osm_jl_spark.operators.joins import way_geometries
+
+        ways = _ways(spark, sf_dir).filter(
+            F.col("visible")
+            & E.is_closed("node_refs")
+            & (F.size("node_refs") >= 3)  # degenerate 1/2-ref rings out
+        )
+        geoms = way_geometries(ways, _nodes(spark, sf_dir))
+        return geoms.select(
+            "way_id", shoelace_area2_col(F.col("coords")).alias("area2")
+        )
+
     def shortest_paths_q(spark, sf_dir):
         # weighted routing over the same road graph: Bellman-Ford
         # relaxation rounds (operators/graph.py:shortest_paths).
@@ -601,6 +619,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _pq(spark, sf_dir, "documents")
         return repetition_scores(docs, n=2)
+
+    def tfidf_top_terms_q(spark, sf_dir):
+        # per-doc characteristic terms by tf*N/df (log-free idf:
+        # exact integer numerator, one float division -> bit-equal
+        # rankings cross-engine); deterministic (score desc, token)
+        from osm_jl_spark.operators.quality import tfidf_top_terms
+
+        docs = _pq(spark, sf_dir, "documents")
+        return tfidf_top_terms(docs, top=3)
 
     def corpus_clean_q(spark, sf_dir):
         # the composite a C4-style cleanup runs as ONE plan: quality
@@ -969,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_lookup": cell_lookup_q,
         "bfs_hops": bfs_hops_q,
         "shortest_paths": shortest_paths_q,
+        "way_areas": way_areas_q,
         "nodes_highways": nodes_highways_q,
         "ways_buildings": ways_buildings_q,
         "highway_class_filter": highway_class_q,
@@ -998,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_exhaustive": ivf_knn_exhaustive_q,
         "text_quality": text_quality_q,
         "repetition_scores": repetition_scores_q,
+        "tfidf_top_terms": tfidf_top_terms_q,
         "corpus_clean": corpus_clean_q,
         "pack_sequences": pack_sequences_q,
         "token_count_by_lang": token_count_by_lang_q,
@@ -1143,6 +1172,40 @@ bfs AS (
 )
 SELECT CAST(node AS BIGINT) AS node_id, CAST(MIN(dist) AS BIGINT) AS dist
 FROM bfs GROUP BY node"""
+
+    # exact integer shoelace: lead() pairs consecutive ring points,
+    # COALESCE wraps last->first; 1e-5-degree quantization makes
+    # every term and sum BIGINT (order-independent, bit-equal)
+    out["way_areas"] = f"""WITH {nodes}, {ways},
+wlen AS (SELECT id, max(pos) AS np FROM ways_refs GROUP BY id),
+closed AS (
+  SELECT w.id FROM ways w
+  JOIN ways_refs f ON f.id = w.id AND f.pos = 1
+  JOIN wlen l ON l.id = w.id
+  JOIN ways_refs g ON g.id = w.id AND g.pos = l.np
+  WHERE w.visible AND f.ref = g.ref AND l.np >= 3
+),
+pts AS (
+  SELECT wr.id, wr.pos,
+         CAST(round(n.lon * 100000) AS BIGINT) AS x,
+         CAST(round(n.lat * 100000) AS BIGINT) AS y
+  FROM ways_refs wr
+  JOIN closed c ON c.id = wr.id
+  JOIN nodes n ON n.id = wr.ref
+),
+nx AS (
+  SELECT id, x, y,
+         lead(x) OVER w AS xn, lead(y) OVER w AS yn,
+         first_value(x) OVER w2 AS xf, first_value(y) OVER w2 AS yf
+  FROM pts
+  WINDOW w AS (PARTITION BY id ORDER BY pos),
+         w2 AS (PARTITION BY id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT id AS way_id,
+       CAST(sum(x * COALESCE(yn, yf) - COALESCE(xn, xf) * y) AS BIGINT)
+         AS area2
+FROM nx GROUP BY id"""
 
     # weighted variant: min total weight over walks of <= 6 edges,
     # hop-bounded so the recursion terminates on cyclic road graphs;
@@ -1476,6 +1539,30 @@ SELECT doc_id,
        CAST(sum(c) AS BIGINT) AS ngram_total,
        CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS repetition_ratio
 FROM c GROUP BY doc_id"""
+
+    out["tfidf_top_terms"] = """WITH
+t AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         (tf.tf * n.n) / dfq.df AS score
+  FROM tf JOIN dfq ON dfq.token = tf.token CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, token, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3"""
 
     # composite C4-style cleanup: quality gates + repetition gate ->
     # exact-dedup keep-min -> deterministic 50% hash sample

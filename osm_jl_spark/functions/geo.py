@@ -332,3 +332,45 @@ def haversine_m(lon1, lat1, lon2, lat2):
     dl = F.radians(lon2) - F.radians(lon1)
     a = F.sin(dp / 2) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) ** 2
     return F.lit(2.0 * r) * F.asin(F.sqrt(a))
+
+
+def shoelace_area2_col(coords, scale: int = 5):
+    """Twice the SIGNED shoelace area of a ring, in integer
+    10^-``scale``-degree² units (BIGINT): Σ xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ plus the
+    last→first wrap term (zero automatically when the ring repeats its
+    first point, the OSM closed-way convention).
+
+    Integer on purpose: coordinates quantize exactly to 10^-scale, and
+    BIGINT sums are order-independent — the area is bit-equal across
+    engines and partitionings, where a floating shoelace would depend
+    on summation order. Worst case |x·y| ≈ 1.8e7·9e6 ≈ 1.6e14 per term
+    — a ring needs >5·10⁴ vertices of worst-case sign agreement to
+    approach int64, far past any OSM way. ``coords`` is the
+    array<struct<lon,lat>> from way_geometries; all native column ops
+    (transform/slice/zip_with/aggregate), no UDF.
+    """
+    s = F.lit(float(10**scale))
+    a = F.transform(
+        coords,
+        lambda p: F.struct(
+            F.round(p["lon"] * s).cast("long").alias("x"),
+            F.round(p["lat"] * s).cast("long").alias("y"),
+        ),
+    )
+    n = F.size(a)
+    head = F.slice(a, 1, n - 1)
+    tail = F.slice(a, 2, n - 1)
+    terms = F.zip_with(
+        head, tail, lambda p, q: p["x"] * q["y"] - q["x"] * p["y"]
+    )
+    wrap = (
+        F.element_at(a, -1)["x"] * F.element_at(a, 1)["y"]
+        - F.element_at(a, 1)["x"] * F.element_at(a, -1)["y"]
+    )
+    body = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+    )
+    # total on purpose: 1- and 2-point "rings" cancel to exactly 0
+    # (body and wrap negate), so no NULL branch — NULLs would also
+    # push the column to float64 through Arrow/pandas round trips
+    return body + wrap

@@ -101,3 +101,26 @@ def test_native_pip_expr_matches_udf_path(spark):
         for r in nodes_in_polygons(pts, POLYGONS, 2, exact="udf").collect()
     }
     assert nat == udf and len(nat) > 0
+
+
+def test_shoelace_area2_square_and_degenerate(spark):
+    from pyspark.sql import functions as F
+
+    from osm_jl_spark.functions.geo import shoelace_area2_col
+
+    # CCW unit-cell square 2x1 (in 1e-5 deg units) -> 2A = +4;
+    # CW orientation negates; 2-point ring cancels to 0
+    rows = [
+        (1, [(0.0, 0.0), (0.00002, 0.0), (0.00002, 0.00001),
+             (0.0, 0.00001), (0.0, 0.0)]),
+        (2, [(0.0, 0.0), (0.0, 0.00001), (0.00002, 0.00001),
+             (0.00002, 0.0), (0.0, 0.0)]),
+        (3, [(0.0, 0.0), (0.00002, 0.00001)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "way_id LONG, coords ARRAY<STRUCT<lon:DOUBLE,lat:DOUBLE>>"
+    )
+    got = {r["way_id"]: r["a2"] for r in df.select(
+        "way_id", shoelace_area2_col(F.col("coords")).alias("a2")
+    ).collect()}
+    assert got == {1: 4, 2: -4, 3: 0}

@@ -31,3 +31,26 @@ def test_repetition_trigram_order(spark):
     )
     r = repetition_scores(docs, n=3).collect()[0]
     assert (r["top_ngram_count"], r["ngram_total"]) == (2, 3)
+
+
+def test_tfidf_top_terms_ranks_distinctive_tokens(spark):
+    from osm_jl_spark.operators.quality import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common yak yak"),
+            (3, "common giraffe"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        (r["doc_id"], r["rk"]): (r["token"], r["score"])
+        for r in tfidf_top_terms(docs, top=2).collect()
+    }
+    # 'common' appears in all 3 docs (df=3); unique animals (df=1)
+    # dominate: zebra 1*3/1=3 > common 2*3/3=2
+    assert got[(1, 1)] == ("zebra", 3.0)
+    assert got[(1, 2)] == ("common", 2.0)
+    assert got[(2, 1)] == ("yak", 6.0)
+    assert got[(3, 1)] == ("giraffe", 3.0)

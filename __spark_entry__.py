@@ -442,6 +442,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs2x(_pq(spark, sf_dir, "documents"))
         return D.exact_dedup(docs).select("doc_id")
 
+    def snapshot_latest_q(spark, sf_dir):
+        # crawl-snapshot dedup over the recrawl history (caps captures
+        # per url): keep the newest capture per url via map-side
+        # combinable max_by — ONE shuffle, no window sort. The latest
+        # epoch and its fetch_h pin that the whole winning ROW is kept,
+        # not just the max timestamp.
+        crawls = G.load_crawls(spark, _counts(sf_dir)["docs"])
+        out = D.snapshot_latest(crawls, key="url", ts_col="warc_ts")
+        return out.select(
+            "url",
+            _epoch_sec("warc_ts").alias("last_epoch"),
+            F.col("fetch_h").alias("last_fetch"),
+            "n_caps",
+        )
+
     def ngram_jaccard_q(spark, sf_dir):
         corpus = _neardup_corpus(_pq(spark, sf_dir, "documents"))
         return D.ngram_jaccard_pairs(corpus, threshold=0.5)
@@ -1012,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ring_10k": knn_10k_q,
         "dedup_exact_groups": dedup_exact_groups_q,
         "dedup_exact_keep": dedup_exact_keep_q,
+        "snapshot_latest": snapshot_latest_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "minhash_pairs": minhash_pairs_q,
         "simhash_pairs": simhash_pairs_q,
@@ -1354,6 +1370,13 @@ FROM docs2x GROUP BY 1 HAVING count(*) >= 2"""
     out["dedup_exact_keep"] = f"""WITH {_DOCS2X_SQL},
 k AS (SELECT md5({norm}) AS fp, min(doc_id) AS doc_id FROM docs2x GROUP BY 1)
 SELECT doc_id FROM k"""
+
+    out["snapshot_latest"] = f"""WITH {G.crawls_ctes("duckdb", c["docs"])}
+SELECT url,
+       max(warc_epoch) AS last_epoch,
+       arg_max(fetch_h, warc_epoch) AS last_fetch,
+       CAST(count(*) AS BIGINT) AS n_caps
+FROM crawls GROUP BY url"""
 
     shingle_ctes = f"""{_NEARDUP_SQL},
 toks AS (

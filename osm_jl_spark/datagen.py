@@ -198,6 +198,37 @@ def load_pages_points(spark: SparkSession, n_docs: int) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- crawls
+
+def crawls_ctes(dialect: str, n_docs: int, caps: int = 3) -> str:
+    """CTE chain ending in ``crawls(url, warc_epoch, fetch_h)``: the
+    same ``n_docs`` page urls, each captured ``caps`` times (a
+    Common-Crawl-style recrawl history). Capture ``j`` of url ``u`` has
+    ``warc_epoch = base + u + j*n_docs`` — distinct within every url,
+    so "the latest capture" is unique and both engines agree on it.
+    ``fetch_h`` is a deterministic per-capture content hash stand-in.
+    """
+    d = _tok(dialect)
+    return f"""crawl_base AS (
+  SELECT i FROM {_iter(dialect, n_docs * caps)}
+),
+crawls AS (
+  SELECT concat('https://example.org/p/', CAST(i % {n_docs} AS {d['STR']})) AS url,
+         1704067200 + i AS warc_epoch,
+         ((i + 7) * {KNUTH}) % {M32} AS fetch_h
+  FROM crawl_base
+)"""
+
+
+def load_crawls(spark: SparkSession, n_docs: int, caps: int = 3) -> DataFrame:
+    """Materialize the recrawl history (url, warc_ts, fetch_h)."""
+    ctes = crawls_ctes("spark", n_docs, caps)
+    return spark.sql(
+        f"""WITH {ctes}
+SELECT url, timestamp_seconds(warc_epoch) AS warc_ts, fetch_h FROM crawls"""
+    )
+
+
 # ----------------------------------------------------------------- nodes
 
 def _tag_cols(d: dict[str, str]) -> str:

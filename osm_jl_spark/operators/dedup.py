@@ -462,6 +462,41 @@ def contamination_pairs(
     )
 
 
+def snapshot_latest(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Crawl-snapshot dedup: keep the newest capture per ``key`` (the
+    canonical first step over a Common-Crawl-style table whose urls are
+    recrawled — the input_hint's (url, warc_ts, ...) shape). Output is
+    one row per key with every payload column from the winning capture
+    plus ``n_caps``, the capture count.
+
+    Plan: ONE shuffle on the key with map-side partial aggregation —
+    ``max_by(struct(payload), ts)`` folds each input partition down to
+    one candidate row per key BEFORE the exchange. The equivalent
+    window formulation (``row_number() over (partition by key order by
+    ts desc) = 1``) must shuffle and sort EVERY capture; at 10^12
+    captures with ~10 captures/url the partial agg cuts shuffled rows
+    ~10x. Catalyst plans it as SortAggregate (a struct buffer is not
+    hash-aggregable) — the per-partition sort is by key only, over the
+    already-reduced partial rows on the final side. Ties on ``ts_col``
+    pick an unspecified capture — callers needing determinism under
+    ties should order by a composite struct.
+    """
+    payload = [c for c in df.columns if c != key]
+    agg = df.groupBy(key).agg(
+        F.max_by(F.struct(*payload), F.col(ts_col)).alias("_latest"),
+        F.count(F.lit(1)).alias("n_caps"),
+    )
+    return agg.select(
+        key,
+        *[F.col(f"_latest.{c}").alias(c) for c in payload],
+        "n_caps",
+    )
+
+
 def neardup_keep_best(
     docs: DataFrame,
     pairs: DataFrame,

@@ -165,3 +165,38 @@ def test_neardup_keep_best_argmax_not_min_id(spark):
         ).collect()
     }
     assert got == {(1, 2), (9, 9)}
+
+
+def test_snapshot_latest_keeps_newest_row(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    crawls = spark.createDataFrame(
+        [
+            ("u1", t(1), 10),
+            ("u1", t(3), 30),
+            ("u1", t(2), 20),
+            ("u2", t(5), 50),
+        ],
+        "url STRING, warc_ts TIMESTAMP_NTZ, fetch_h BIGINT",
+    )
+    got = {
+        (r["url"], r["fetch_h"], r["n_caps"])
+        for r in D.snapshot_latest(crawls).collect()
+    }
+    # the whole winning ROW is kept (fetch_h travels with the max ts)
+    assert got == {("u1", 30, 3), ("u2", 50, 1)}
+
+
+def test_snapshot_latest_single_exchange(spark):
+    """max_by(struct, ts) must plan as ONE hash-partition shuffle on
+    the key with a map-side partial aggregate — the scale argument vs
+    the window row_number formulation (which sorts every capture)."""
+    from tests.test_plans import count_nodes, explain
+
+    from osm_jl_spark import datagen as G
+
+    crawls = G.load_crawls(spark, 200)
+    plan = explain(D.snapshot_latest(crawls))
+    assert count_nodes(plan, "Exchange") == 1, plan
+    assert "partial_max_by" in plan, plan

@@ -59,6 +59,9 @@ AUDITED = [
      "content hash, map-side partial aggregation"),
     ("orders_rollup", "grouping-sets rollup in one pass with map-side "
      "partial aggregation per grouping set"),
+    ("snapshot_latest", "crawl-snapshot dedup: max_by(struct, ts) is "
+     "ONE shuffle on url with partial_max_by map-side - vs a window "
+     "row_number sort over every capture"),
     ("bbox_store_nodes", "cell-clustered store: PartitionFilters on the "
      "lon-cell stripe (directory pruning) + PushedFilters on (cx, cy) "
      "(row-group skipping); zero shuffle, zero Python"),

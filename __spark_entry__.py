@@ -997,74 +997,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("members").cast("long").alias("n_members"),
         )
 
+    # Registration ORDER matters: the driver's correctness check walks
+    # this dict in insertion order and has covered only a prefix each
+    # round (r1: 48 rows, r2: exactly the first 50 of 67). So queries
+    # that have never had a driver-green row go FIRST, the already
+    # driver-green remainder follows cheapest-first, and the expensive
+    # iterative/approximate queries (all green in CORRECTNESS_r02) sit
+    # at the tail where a truncated pass costs no new evidence.
     return {
-        "geoparse_points": geoparse_points_q,
-        "cell_encode": cell_encode_q,
-        "pip_frogner": pip_frogner_q,
-        "pip_polygons": pip_polygons_q,
-        "tile_counts": tile_counts_q,
-        "tile_rollup": tile_rollup_q,
-        "raster_vector": raster_vector_q,
-        "bbox_vitoria_nodes": bbox_nodes_q,
-        "bbox_store_nodes": bbox_store_q,
-        "bbox_vitoria_ways": bbox_ways_q,
+        # -- never driver-checked (r1 hash-fail since fixed, or
+        # -- registered after the r1 pass and skipped by the r2 prefix)
+        "tpch_q1": tpch_q1_q,
+        "tpch_q3": tpch_q3_q,
+        "tpch_q6": tpch_q6_q,
+        "orders_by_segment": orders_by_segment_q,
+        "orders_rollup": orders_rollup_q,
+        "addr_postcode_city": addr_postcode_city_q,
+        "feature_collection": feature_collection_q,
+        "geojson_props": geojson_props_q,
+        "osm_xml_file_parse": osm_xml_file_q,
+        # -- driver-green in r1 but dropped by the r2 prefix
+        "events_top3": events_top3_q,
+        "events_sessionize": events_sessionize_q,
+        "geojson_features": geojson_q,
+        "ecef_enu": ecef_enu_q,
+        "tag_update": tag_update_q,
+        "frame_sample": frame_sample_q,
+        "multimodal_features": multimodal_q,
+        "osm_xml_parse": osm_xml_q,
+        # -- driver-green in r2, cheapest first
         "cell_lookup": cell_lookup_q,
-        "bfs_hops": bfs_hops_q,
-        "shortest_paths": shortest_paths_q,
-        "way_areas": way_areas_q,
+        "cell_encode": cell_encode_q,
+        "geoparse_points": geoparse_points_q,
         "nodes_highways": nodes_highways_q,
         "ways_buildings": ways_buildings_q,
         "highway_class_filter": highway_class_q,
         "search_name": search_name_q,
         "search_address": search_address_q,
         "is_closed_ways": is_closed_q,
+        "way_areas": way_areas_q,
         "waynodes_join": waynodes_q,
         "extract_semi_nodes": extract_semi_q,
-        "ways_in_frogner": ways_in_frogner_q,
         "relation_members": rel_members_q,
         "relations_with_node_members": rel_with_node_members_q,
-        "knn_ring": knn_q,
-        "knn_ring_10k": knn_10k_q,
+        "bbox_vitoria_nodes": bbox_nodes_q,
+        "bbox_store_nodes": bbox_store_q,
+        "bbox_vitoria_ways": bbox_ways_q,
+        "ways_in_frogner": ways_in_frogner_q,
+        "pip_frogner": pip_frogner_q,
+        "pip_polygons": pip_polygons_q,
+        "tile_counts": tile_counts_q,
+        "tile_rollup": tile_rollup_q,
+        "raster_vector": raster_vector_q,
+        "text_quality": text_quality_q,
+        "repetition_scores": repetition_scores_q,
+        "tfidf_top_terms": tfidf_top_terms_q,
+        "token_count_by_lang": token_count_by_lang_q,
+        "lang_id": lang_id_q,
+        "doc_fingerprints": fingerprint_q,
+        "corpus_clean": corpus_clean_q,
+        "hash_sample": hash_sample_q,
+        "stratified_sample": stratified_sample_q,
+        "pack_sequences": pack_sequences_q,
         "dedup_exact_groups": dedup_exact_groups_q,
         "dedup_exact_keep": dedup_exact_keep_q,
         "snapshot_latest": snapshot_latest_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "minhash_pairs": minhash_pairs_q,
         "simhash_pairs": simhash_pairs_q,
-        "dedup_clusters": dedup_clusters_q,
         "contamination": contamination_q,
         "neardup_keep_best": neardup_keep_best_q,
-        "hash_sample": hash_sample_q,
-        "stratified_sample": stratified_sample_q,
         "embedding_knn": embedding_knn_q,
         "embedding_near_dups": embedding_near_dups_q,
-        "ivf_knn": ivf_knn_q,
+        # -- expensive tail (iterative / 10k-query / approximate), all
+        # -- already driver-green in CORRECTNESS_r02
+        "bfs_hops": bfs_hops_q,
+        "shortest_paths": shortest_paths_q,
+        "dedup_clusters": dedup_clusters_q,
+        "knn_ring": knn_q,
         "ivf_knn_exhaustive": ivf_knn_exhaustive_q,
-        "text_quality": text_quality_q,
-        "repetition_scores": repetition_scores_q,
-        "tfidf_top_terms": tfidf_top_terms_q,
-        "corpus_clean": corpus_clean_q,
-        "pack_sequences": pack_sequences_q,
-        "token_count_by_lang": token_count_by_lang_q,
-        "lang_id": lang_id_q,
-        "doc_fingerprints": fingerprint_q,
-        "ecef_enu": ecef_enu_q,
-        "frame_sample": frame_sample_q,
-        "tag_update": tag_update_q,
-        "tpch_q1": tpch_q1_q,
-        "tpch_q3": tpch_q3_q,
-        "tpch_q6": tpch_q6_q,
-        "orders_by_segment": orders_by_segment_q,
-        "orders_rollup": orders_rollup_q,
-        "events_top3": events_top3_q,
-        "events_sessionize": events_sessionize_q,
-        "geojson_features": geojson_q,
-        "geojson_props": geojson_props_q,
-        "feature_collection": feature_collection_q,
-        "addr_postcode_city": addr_postcode_city_q,
-        "multimodal_features": multimodal_q,
-        "osm_xml_parse": osm_xml_q,
-        "osm_xml_file_parse": osm_xml_file_q,
+        "ivf_knn": ivf_knn_q,
+        "knn_ring_10k": knn_10k_q,
     }
 
 

@@ -203,29 +203,50 @@ def load_pages_points(spark: SparkSession, n_docs: int) -> DataFrame:
 def crawls_ctes(dialect: str, n_docs: int, caps: int = 3) -> str:
     """CTE chain ending in ``crawls(url, warc_epoch, fetch_h)``: the
     same ``n_docs`` page urls, each captured ``caps`` times (a
-    Common-Crawl-style recrawl history). Capture ``j`` of url ``u`` has
-    ``warc_epoch = base + u + j*n_docs`` — distinct within every url,
-    so "the latest capture" is unique and both engines agree on it.
-    ``fetch_h`` is a deterministic per-capture content hash stand-in.
+    Common-Crawl-style recrawl history). Capture ``j`` of url ``u``
+    (row ``i = u*caps + j``) has ``warc_epoch = base + u + j*n_docs``
+    — distinct within every url, so "the latest capture" is unique and
+    both engines agree on it. ``fetch_h`` is a deterministic
+    per-capture content hash stand-in.
+
+    Captures of a url are CONTIGUOUS in row order (``u = i // caps``),
+    like a WARC segment or a url-clustered Iceberg table — so the
+    bench actually exercises :func:`snapshot_latest`'s map-side
+    partial_max_by reduction (ADVICE r2: the old ``u = i % caps``
+    layout spread every url's captures ``n_docs`` rows apart, and the
+    partial aggregate reduced almost nothing).
     """
     d = _tok(dialect)
     return f"""crawl_base AS (
   SELECT i FROM {_iter(dialect, n_docs * caps)}
 ),
 crawls AS (
-  SELECT concat('https://example.org/p/', CAST(i % {n_docs} AS {d['STR']})) AS url,
-         1704067200 + i AS warc_epoch,
+  SELECT concat('https://example.org/p/', CAST(i {d['IDIV']} {caps} AS {d['STR']})) AS url,
+         1704067200 + (i {d['IDIV']} {caps}) + (i % {caps}) * {n_docs} AS warc_epoch,
          ((i + 7) * {KNUTH}) % {M32} AS fetch_h
   FROM crawl_base
 )"""
 
 
 def load_crawls(spark: SparkSession, n_docs: int, caps: int = 3) -> DataFrame:
-    """Materialize the recrawl history (url, warc_ts, fetch_h)."""
+    """Materialize the recrawl history (url, warc_ts, fetch_h).
+
+    ``warc_ts`` is TIMESTAMP_NTZ built by interval arithmetic from the
+    NTZ epoch literal — never through an LTZ instant, whose wall-clock
+    fields (and thus ``epoch_sec``) would depend on
+    ``spark.sql.session.timeZone``. This way the UTC-of-epoch wall
+    time is pinned regardless of session config (ADVICE r2; the old
+    ``timestamp_seconds`` form was correct only under session.py's
+    UTC pin).
+    """
     ctes = crawls_ctes("spark", n_docs, caps)
     return spark.sql(
         f"""WITH {ctes}
-SELECT url, timestamp_seconds(warc_epoch) AS warc_ts, fetch_h FROM crawls"""
+SELECT url,
+       timestampadd(SECOND, warc_epoch,
+                    TIMESTAMP_NTZ '1970-01-01 00:00:00') AS warc_ts,
+       fetch_h
+FROM crawls"""
     )
 
 

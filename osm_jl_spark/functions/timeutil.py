@@ -18,6 +18,12 @@ def epoch_sec(col: Column | str) -> Column:
     timezone-free on NTZ, so this expression equals DuckDB's
     ``floor(epoch(ts))`` on the same naive parquet value regardless of
     either engine's zone setting.
+
+    Contract: the input should be TIMESTAMP_NTZ (or a DATE). On an
+    LTZ column the extracted fields are rendered in
+    ``spark.sql.session.timeZone``, so the result is UTC-epoch only
+    under a UTC session pin — ADVICE r2. Loaders in this repo
+    (e.g. ``datagen.load_crawls``) emit NTZ for exactly this reason.
     """
     c = F.col(col) if isinstance(col, str) else col
     return (

@@ -477,13 +477,24 @@ def snapshot_latest(
     ``max_by(struct(payload), ts)`` folds each input partition down to
     one candidate row per key BEFORE the exchange. The equivalent
     window formulation (``row_number() over (partition by key order by
-    ts desc) = 1``) must shuffle and sort EVERY capture; at 10^12
-    captures with ~10 captures/url the partial agg cuts shuffled rows
-    ~10x. Catalyst plans it as SortAggregate (a struct buffer is not
-    hash-aggregable) — the per-partition sort is by key only, over the
-    already-reduced partial rows on the final side. Ties on ``ts_col``
-    pick an unspecified capture — callers needing determinism under
-    ties should order by a composite struct.
+    ts desc) = 1``) must shuffle and sort EVERY capture. The map-side
+    reduction is LAYOUT-DEPENDENT: when captures of a key co-locate
+    within input partitions (a WARC segment, a url-clustered Iceberg
+    table — and the bench datagen, which generates captures
+    contiguously), ~10 captures/url shrink to 1 candidate row per key
+    before the exchange, cutting shuffled rows ~10x; on a layout that
+    scatters a url's captures across partitions the plan SHAPE is the
+    same but the partial agg reduces little. Catalyst plans it as
+    SortAggregate (a struct buffer is not hash-aggregable) — the
+    per-partition sort is by key only, over the already-reduced
+    partial rows on the final side.
+
+    Edge semantics: ties on ``ts_col`` pick an unspecified capture —
+    callers needing determinism under ties should order by a composite
+    struct. ``max_by`` SKIPS rows whose ``ts_col`` is NULL: a key whose
+    captures ALL have NULL ``ts_col`` still emits a row (n_caps > 0)
+    but with NULL payload columns — matching DuckDB ``arg_max``, which
+    is what the oracle parity relies on.
     """
     payload = [c for c in df.columns if c != key]
     agg = df.groupBy(key).agg(

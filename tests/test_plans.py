@@ -141,3 +141,24 @@ def test_pip_no_fact_shuffle(spark):
     # '(N) Exchange' does not match BroadcastExchange detail headers
     assert count_nodes(plan, "Exchange") == 0, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_global_window_bounded_to_buckets(spark):
+    """pack_sequences' whole point (VERDICT r2 #5): the only
+    single-partition window is the exclusive prefix over the B-row
+    bucket table — the CORPUS running sum must be partitioned by
+    bucket, so no plan node ever pulls the whole relation through one
+    task as the naive global-window spelling would."""
+    from osm_jl_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(SF + "/documents.parquet").selectExpr(
+        "doc_id", "text"
+    )
+    plan = explain(pack_sequences(docs, budget=2048, buckets=64))
+    # exactly ONE SinglePartition exchange: the bucket-table prefix
+    # (its input is the 64-row groupBy("bucket") aggregate)
+    single = re.findall(r"Arguments: SinglePartition", plan)
+    assert len(single) == 1, plan
+    # the corpus-side window sorts WITHIN hashpartitioning(bucket) —
+    # the unbounded running sum over docs has a partition key
+    assert re.search(r"hashpartitioning\(bucket", plan), plan

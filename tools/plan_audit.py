@@ -43,8 +43,10 @@ AUDITED = [
      "native unrolled even-odd PIP after the broadcast prefilter; zero fact shuffle"),
     ("bbox_vitoria_nodes", "pure native range filter on the cell columns "
      "- no UDF, no join, no shuffle"),
-    ("tile_rollup", "multi-resolution rollup in ONE shuffle (single "
-     "groupBy over exploded resolutions, partial aggregation map-side)"),
+    ("tile_rollup", "multi-resolution rollup: ONE groupBy shuffle over "
+     "exploded resolutions (partial aggregation map-side) plus the "
+     "intentional second exchange that merges hot-cell SALT shards - "
+     "2 exchanges total, both over already-aggregated tile rows"),
     ("waynodes_join", "posexplode + equi-join; AQE picks broadcast vs "
      "sort-merge from runtime stats"),
     ("knn_ring", "ring-expansion candidate join against broadcast query "
@@ -73,6 +75,26 @@ AUDITED = [
     ("corpus_clean", "quality gates fuse into the scan projection; "
      "repetition join + fingerprint dedup are the only shuffles; the "
      "50% sampler stays a filter"),
+    ("pack_sequences", "two-level prefix sum: the ONLY unbounded "
+     "(whole-relation) window runs over the B-row bucket table, never "
+     "the corpus - corpus rows see a window PARTITIONED by bucket; "
+     "greedy bin assignment stays native"),
+    ("bfs_hops", "iterative frontier expansion: the audited plan is "
+     "the FINAL round - frontier joins adjacency (one shuffle per "
+     "round), visited set localCheckpointed so lineage stays O(1) "
+     "per round instead of O(rounds)"),
+    ("shortest_paths", "weighted relaxation rounds: per-round "
+     "min-distance aggregation is map-side combinable; checkpointed "
+     "state keeps each round's plan constant-size"),
+    ("way_areas", "order-preserving posexplode + one waynodes join; "
+     "exact integer shoelace accumulates in a map-side combinable "
+     "sum - no window over node sequences"),
+    ("tfidf_top_terms", "log-free integer tf*N/df ranking: explode + "
+     "two hash aggregations (term df, doc tf) + top-k window "
+     "partitioned by doc - no global sort"),
+    ("neardup_keep_best", "pair graph -> connected components (labels "
+     "stay in DataFrames) -> one map-side-combinable max(struct) "
+     "argmax per cluster; corpus never sees a window"),
 ]
 
 

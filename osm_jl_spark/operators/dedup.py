@@ -102,35 +102,56 @@ def minhash_signatures(
 
     Permutation family: h_i(x) = (a_i * x + b_i) mod M31 over a 31-bit
     reduction of the shingle hash — 31-bit so a*x + b stays within
-    int64 under ANSI overflow checking. Computed as ONE native
-    aggregate: explode shingles -> per-doc elementwise min of the
-    permuted-hash array (groupBy(id) + zip_with(least) fold; no UDF,
-    one shuffle).
+    int64 under ANSI overflow checking.
+
+    Computed as a pure NARROW map — zero shuffle: each doc keeps its
+    shingle hashes as an array column and every signature position is
+    ``array_min(transform(hs, x -> (a*x+b) mod M31))``, all inside
+    whole-stage codegen. The previous formulation (explode shingles,
+    build a num_hashes array per shingle ROW, groupBy(id) +
+    collect_list fold) shuffled num_hashes longs PER SHINGLE with no
+    map-side reduction (collect_list combines nothing) — ~300 GB of
+    shuffle at 8M docs, which is what actually filled the bench host's
+    disk; at 10^12 docs it is a non-starter. Same values, same
+    permutation family, no exchange at all.
+
+    Docs whose shingle set is empty (shorter than ``shingle_n``
+    tokens) are dropped, matching the exploded formulation where they
+    produced no rows.
     """
     import random
 
     rng = random.Random(seed)
     ab = [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
           for _ in range(num_hashes)]
-    sh = _shingle_hashes(docs, id_col, text_col, shingle_n, hash_fn)
-    # positive 31-bit base hash, then all permutations as one array
-    base = F.pmod(F.col("sh"), F.lit(MERSENNE31))
-    perms = F.array(
-        *[
-            F.pmod(F.lit(a) * base + F.lit(b), F.lit(MERSENNE31))
-            for a, b in ab
-        ]
-    ).alias("hv")
-    per_doc = sh.select("id", perms)
-    # min per position: aggregate arrays with zip_with(least)
-    zero = F.array(*[F.lit(MERSENNE31).cast("long")] * num_hashes)
-    return per_doc.groupBy("id").agg(
-        F.aggregate(
-            F.collect_list("hv"),
-            zero,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
-        ).alias("sig")
+
+    def h(s):
+        return (
+            F.xxhash64(s) if hash_fn == "xxhash64" else _hash60(s)
+        )
+
+    # positive 31-bit base hash per distinct shingle, per doc — one
+    # array column, never exploded
+    hs = F.transform(
+        shingles_col(text_col, shingle_n),
+        lambda s: F.pmod(h(s), F.lit(MERSENNE31)),
     )
+    d = docs.select(F.col(id_col).alias("id"), hs.alias("hs")).filter(
+        F.size("hs") > 0
+    )
+    def perm_min(a, b):
+        # closure factory: pyspark counts the lambda's parameters, so
+        # the permutation constants cannot ride in as defaults
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda x: F.pmod(F.lit(a) * x + F.lit(b),
+                                 F.lit(MERSENNE31)),
+            )
+        )
+
+    sig = F.array(*[perm_min(a, b) for a, b in ab])
+    return d.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -191,7 +212,20 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded
     candidates -> signature-estimated Jaccard filter.
-    (id_a, id_b, est_jaccard >= threshold)."""
+    (id_a, id_b, est_jaccard >= threshold).
+
+    The signature subtree appears three times in this plan (banding +
+    both sides of the estimate join) and, being a pure narrow map, is
+    RECOMPUTED per consumer — there is no exchange for Spark to reuse.
+    That is the right trade at scale: the alternatives are caching the
+    signature table (10^12 x ~280 B does not fit a cluster's storage
+    memory) or carrying the 32-long sig through the 8-way band explode
+    (~17x the band-join shuffle bytes). Three sequential scans of the
+    source beat both; a long-lived deployment can do even better by
+    materializing ``minhash_signatures`` to a table once (one scan)
+    and running banding + verification against that — the
+    plans/manifest checkpoint pattern.
+    """
     sigs = minhash_signatures(
         docs, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n,
         hash_fn=hash_fn,
@@ -234,7 +268,8 @@ def ngram_jaccard_pairs(
     silently under-report jaccard (unsound). Use this operator for
     exact verification at moderate scale; at web scale the declared
     path is minhash_dedup_pairs, whose banded join is bucketed and
-    per-bucket-capped (see the bench ladder in BASELINE.md).
+    per-bucket-capped (volume evidence: the "MinHash-LSH volume
+    ladder" section of BASELINE.md, produced by tools/minhash_ladder.py).
     """
     sh = _shingle_hashes(docs, id_col, text_col, shingle_n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

@@ -55,8 +55,7 @@ AUDITED = [
      "join planned by AQE; parquet scans carry PushedFilters"),
     ("events_sessionize", "both window functions share one (user_id) "
      "partitioning - exactly ONE shuffle for lag + running-sum + agg"),
-    ("minhash_pairs", "band-bucket self-join: shuffle on (band, sig) "
-     "bucket key only; signatures computed in native zip_with fold"),
+    ("minhash_pairs", "band-bucket self-join: shuffle on (band, sig) bucket key only; signatures are a pure NARROW map (array_min over transform, zero shuffle), recomputed per consumer by design"),
     ("dedup_exact_keep", "hash-groupBy dedup: single shuffle on the "
      "content hash, map-side partial aggregation"),
     ("orders_rollup", "grouping-sets rollup in one pass with map-side "

@@ -300,38 +300,62 @@ def simhash_signatures(
     shingle_n: int = 2,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash BIGINT): 64-bit SimHash via explode + bit votes.
+    """(id, simhash BIGINT): 64-bit SimHash — a pure NARROW map.
 
     Votes: for bit j, sum over shingles of (bit_j(h) ? 1 : -1); sign
-    of the sum sets bit j. All native: shiftright/bitwise-and inside an
-    aggregate over a generated bit-position array.
+    of the sum sets bit j. The doc keeps its shingle hashes as an
+    array column and folds them into a 64-long vote vector with one
+    ``aggregate``/``zip_with`` pass, then assembles the fingerprint
+    from the vote signs — all inside whole-stage codegen, ZERO
+    exchanges. The previous formulation exploded shingles x 64 bit
+    positions and ran two groupBy shuffles; map-side partial sums kept
+    the exchanged volume at 64 rows per doc, but that is still ~1 KB
+    of shuffle per document — a petabyte at the 10^12-doc design point
+    — for a value computable where the text already is.
+
+    Bit semantics preserved exactly (oracle-pinned): arithmetic
+    shiftright over the signed 64-bit hash, and bit 63 contributes
+    Long.MIN_VALUE (== 1L << 63 wrapped, no ANSI overflow since it is
+    added to a sum of non-negative lower bits).
     """
-    sh = _shingle_hashes(docs, id_col, text_col, shingle_n, hash_fn)
-    bit = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
-    votes = (
-        sh.select("id", "sh", bit)
-        .withColumn(
-            "vote",
-            F.when(
-                F.expr("shiftright(sh, cast(bit as int)) & 1") == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
+
+    def h(s):
+        return F.xxhash64(s) if hash_fn == "xxhash64" else _hash60(s)
+
+    hs = F.transform(shingles_col(text_col, shingle_n), h)
+
+    def signs(x):
+        # per-shingle ±1 vote vector over the 64 bit positions
+        return F.array(
+            *[
+                (
+                    F.shiftright(x, j).bitwiseAND(F.lit(1)) * F.lit(2)
+                    - F.lit(1)
+                ).cast("long")
+                for j in range(64)
+            ]
         )
-        .groupBy("id", "bit")
-        .agg(F.sum("vote").alias("v"))
+
+    votes = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, x: F.zip_with(acc, signs(x), lambda a, b: a + b),
     )
-    # bit 63 would overflow signed int64 via shiftleft(1L, 63) only in
-    # the sign bit — acceptable: it wraps to Long.MIN_VALUE, but ANSI
-    # sum() would then be fine (no overflow: one term per bit). To stay
-    # ANSI-safe we set bit 63 via the same shiftleft (defined behavior
-    # in Spark: 1L << 63 == Long.MIN_VALUE, no error).
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0,
-                F.expr("shiftleft(1L, cast(bit as int))"),
-            ).otherwise(F.lit(0))
-        ).alias("simhash")
+    d = docs.select(F.col(id_col).alias("id"), hs.alias("hs")).filter(
+        F.size("hs") > 0
+    )
+    bit_terms = [
+        F.when(
+            F.element_at(F.col("votes"), j + 1) > 0,
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    fingerprint = bit_terms[0]
+    for t in bit_terms[1:]:
+        fingerprint = fingerprint + t
+    return d.select("id", votes.alias("votes")).select(
+        "id", fingerprint.alias("simhash")
     )
 
 

@@ -175,11 +175,17 @@ def _expand_level(
     disk occupancy 9·density < k) to brute-force the whole corpus.
     """
     step = 10.0 ** (-precision)
-    pts = with_cell(points, precision).cache()
+    # points arrive CACHED from knn_join; the per-level cell encode
+    # is a narrow map over that cache — re-deriving it per use is
+    # two integer truncs per row, where a per-level .cache() would
+    # re-materialize the whole point table once per level (measured
+    # +3.5s on the 20-query bench when the coarse level exists only
+    # to serve a handful of sparse queries)
+    pts = with_cell(points, precision)
     q_all = with_cell(
         pending, precision, lon="qlon", lat="qlat", cx="qcx", cy="qcy"
     ).cache()
-    caches += [pts, q_all]
+    caches.append(q_all)
 
     # ---- round 1: fixed radius r=1 (9 cells) with the TIGHT
     # per-query margin bound. The level's job is only the queries
@@ -340,6 +346,7 @@ def knn_join(
     precision: int = 2,
     max_r: int = 64,
     coarse_step: int = 3,
+    brute_cutoff: int = 64,
 ) -> DataFrame:
     """kNN join: queries (query_id, qlon, qlat) x points (id, lon, lat)
     -> (query_id, id, rank) with rank 1..k by (distance, id).
@@ -354,33 +361,51 @@ def knn_join(
     aggregates, so a fact-table-sized query side cannot OOM or
     serialize through the driver.
 
+    ``brute_cutoff``: once the still-pending set shrinks to at most
+    this many queries, skip the remaining levels and finish them with
+    the broadcast brute join. Each level costs ~10 scheduler rounds
+    (joins, stat pins, probes); a brute pass over <= cutoff queries is
+    bounded at cutoff distance evaluations per corpus row — for tiny
+    straggler sets that is cheaper in wall-clock than another level's
+    round-trips (measured: a 20-query workload with 5 sparse
+    stragglers spent 4s of its 7s driving the coarse level for those
+    5). Set 0 to always descend (the right choice if corpus scans
+    dominate scheduler latency, i.e. the true 10^12-row deployment).
+
     The returned DataFrame is cached (it must survive the unpersist of
     the per-level intermediates it was computed from); callers that
     keep a session long-lived can ``.unpersist()`` it when done — it
     holds k rows per query.
     """
-    pts_base = points.select("id", "lon", "lat")
+    pts_base = points.select("id", "lon", "lat").cache()
     pending = queries.select("query_id", "qlon", "qlat")
-    caches: list[DataFrame] = []
+    caches: list[DataFrame] = [pts_base]
     done_parts: list[DataFrame] = []
 
     levels = [precision]
     while levels[-1] > 0:
         levels.append(max(0, levels[-1] - coarse_step))
-    for prec in levels:
+    for i, prec in enumerate(levels):
         pending = _expand_level(
             pts_base, pending, k, prec, max_r, caches, done_parts,
             final=(prec == levels[-1]),
         )
-        # scalar emptiness probe: stop encoding levels nobody needs
-        if pending.limit(1).count() == 0:
+        # scalar probe (pending is localCheckpoint-materialized between
+        # levels, so this count is near-free): stop descending when
+        # nobody needs the next level, or hand a tiny straggler set
+        # straight to the bounded brute join
+        n_pending = pending.count()
+        if n_pending == 0:
             pending = None
             break
+        if i + 1 < len(levels) and n_pending <= brute_cutoff:
+            break
 
-    # ---- brute-force fallback: only queries the COARSEST grid could
-    # not resolve (fewer than k points within ~max_r degree-scale
-    # cells) — degenerate inputs, e.g. k > points in the hemisphere.
-    if pending is not None and pending.limit(1).count() > 0:
+    # ---- brute-force fallback: queries the COARSEST grid could not
+    # resolve (fewer than k points within ~max_r degree-scale cells —
+    # degenerate inputs, e.g. k > points in the hemisphere) plus any
+    # straggler set at most brute_cutoff queries (bounded by design).
+    if pending is not None:
         dx = F.col("lon") - F.col("qlon")
         dy = F.col("lat") - F.col("qlat")
         w = Window.partitionBy("query_id").orderBy(

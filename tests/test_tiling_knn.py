@@ -78,3 +78,47 @@ def test_knn_matches_bruteforce(spark):
         want = knn_bruteforce(qlon, qlat, pts, 5)
         got_order = [got[qid][i] for i in sorted(got[qid])]
         assert got_order == want, (qid, got_order, want)
+
+
+def test_knn_hierarchical_levels_match_bruteforce(spark):
+    """Force the multi-resolution machinery through every path: a
+    fine precision (3) on mixed dense/sparse data makes the world-
+    noise queries fail the fine level, and brute_cutoff=0 forces them
+    down to the coarse level's geometric grow loop instead of the
+    small-straggler brute shortcut. Results must still be EXACT."""
+    nodes = load_nodes(spark, M)
+    pts = [(r["id"], r["lon"], r["lat"]) for r in nodes.collect()]
+    queries = nodes.filter(F.col("id") <= 24).select(
+        F.col("id").alias("query_id"),
+        (F.col("lon") + 0.001).alias("qlon"),
+        (F.col("lat") + 0.001).alias("qlat"),
+    )
+    got = {}
+    res = knn_join(nodes, queries, k=5, precision=3, brute_cutoff=0)
+    for r in res.collect():
+        got.setdefault(r["query_id"], {})[r["rank"]] = r["id"]
+    assert len(got) == 24
+    for qid, qlon, qlat in [p for p in pts if p[0] <= 24]:
+        want = knn_bruteforce(qlon + 0.001, qlat + 0.001, pts, 5)
+        got_order = [got[qid][i] for i in sorted(got[qid])]
+        assert got_order == want, (qid, got_order, want)
+
+
+def test_knn_small_straggler_cutoff_matches_bruteforce(spark):
+    """Same workload through the brute_cutoff shortcut (default 64 >
+    the straggler count here): the bounded brute join must agree with
+    the full hierarchical descent exactly."""
+    nodes = load_nodes(spark, M)
+    pts = [(r["id"], r["lon"], r["lat"]) for r in nodes.collect()]
+    queries = nodes.filter(F.col("id") <= 24).select(
+        F.col("id").alias("query_id"),
+        (F.col("lon") + 0.001).alias("qlon"),
+        (F.col("lat") + 0.001).alias("qlat"),
+    )
+    got = {}
+    for r in knn_join(nodes, queries, k=5, precision=3).collect():
+        got.setdefault(r["query_id"], {})[r["rank"]] = r["id"]
+    for qid, qlon, qlat in [p for p in pts if p[0] <= 24]:
+        want = knn_bruteforce(qlon + 0.001, qlat + 0.001, pts, 5)
+        got_order = [got[qid][i] for i in sorted(got[qid])]
+        assert got_order == want, (qid, got_order, want)

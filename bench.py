@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "knn_ring_10k",
     "dedup_exact_keep",
     "minhash_pairs",
+    "simhash_pairs",
+    "snapshot_latest",
+    "pack_sequences",
+    "tfidf_top_terms",
     "embedding_knn",
     "text_quality",
     "tpch_q1",

@@ -689,6 +689,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _pq(spark, sf_dir, "documents")
         return pack_sequences(docs, budget=2048)
 
+    def url_canonicalize_q(spark, sf_dir):
+        # URL canonicalization for crawl dedup keys (operators/web.py):
+        # four deterministic messy variants per doc — trailing slash,
+        # leading utm param, fragment, trailing utm param, with a
+        # mixed-case scheme+host throughout — must collapse to the
+        # analytically-known canonical form. The DuckDB oracle builds
+        # that form INDEPENDENTLY by construction (no shared regex), so
+        # this checks the transform, not regex-engine agreement.
+        from osm_jl_spark.operators.web import url_canonical, url_host
+
+        docs = _pq(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        host = F.concat(
+            F.lit("h"), (d % 50).cast("string"), F.lit(".Example.ORG")
+        )
+        base = F.concat(
+            F.lit("HTTPS://"), host, F.lit("/p/"), d.cast("string")
+        )
+        messy = (
+            F.when(d % 4 == 0, F.concat(base, F.lit("/")))
+            .when(d % 4 == 1, F.concat(base, F.lit("?utm_source=x&q=1")))
+            .when(d % 4 == 2, F.concat(base, F.lit("#frag")))
+            .otherwise(F.concat(base, F.lit("?a=1&utm_campaign=z")))
+        )
+        u = docs.select("doc_id", messy.alias("url"))
+        return u.select(
+            "doc_id",
+            url_host("url").alias("host"),
+            url_canonical("url").alias("canon_url"),
+        )
+
+    def pii_scrub_q(spark, sf_dir):
+        # pre-training PII scrub (operators/web.py): every doc gets a
+        # deterministic synthetic email + phone + IPv4 appended (the
+        # driver corpus itself is digit-free, verified), the operator
+        # must redact exactly those; the oracle constructs the
+        # expected scrubbed text independently and compares md5s.
+        from osm_jl_spark.operators.web import pii_counts, scrub_pii
+
+        docs = _pq(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        aug = F.concat(
+            F.col("text"),
+            F.lit(" contact u"), d.cast("string"),
+            F.lit("@ex"), (d % 7).cast("string"),
+            F.lit(".com or +1 555 010 "),
+            F.lpad((d % 1000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."), (d % 256).cast("string"),
+            F.lit("."), (d % 100).cast("string"),
+        )
+        a = docs.select("doc_id", aug.alias("t"))
+        return a.select(
+            "doc_id",
+            F.md5(scrub_pii(F.col("t"))).alias("scrub_md5"),
+            pii_counts(F.col("t")).alias("pc"),
+        ).select(
+            "doc_id",
+            "scrub_md5",
+            F.col("pc.n_email").alias("n_email"),
+            F.col("pc.n_ip").alias("n_ip"),
+            F.col("pc.n_phone").alias("n_phone"),
+        )
+
+    def domain_stats_q(spark, sf_dir):
+        # per-domain corpus stats (operators/web.py) — the unit of
+        # crawl allow/deny lists and per-domain caps. Spark extracts
+        # the host from the URL by regex; the oracle groups by the
+        # constructed host directly — independent verification of
+        # url_host. One shuffle, map-side combinable.
+        from osm_jl_spark.operators.web import domain_stats
+
+        docs = _pq(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), (d % 50).cast("string"),
+            F.lit(".example.org/p/"), d.cast("string"),
+        )
+        pages = docs.select(url.alias("url"), "text")
+        return domain_stats(pages)
+
     def token_count_by_lang_q(spark, sf_dir):
         docs = _pq(spark, sf_dir, "documents")
         return (
@@ -1016,6 +1096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_collection": feature_collection_q,
         "geojson_props": geojson_props_q,
         "osm_xml_file_parse": osm_xml_file_q,
+        # -- new in round 3 (web-corpus hygiene), never driver-checked
+        "url_canonicalize": url_canonicalize_q,
+        "pii_scrub": pii_scrub_q,
+        "domain_stats": domain_stats_q,
         # -- driver-green in r1 but dropped by the r2 prefix
         "events_top3": events_top3_q,
         "events_sessionize": events_sessionize_q,
@@ -1665,6 +1749,33 @@ SELECT doc_id, n_tokens,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             // 2048 AS BIGINT) AS seq_id
 FROM t"""
+
+    # web-corpus hygiene oracles: expected values constructed
+    # INDEPENDENTLY (arithmetic, no regex) — they verify the Spark
+    # operators' transforms, not cross-engine regex agreement
+    out["url_canonicalize"] = """
+SELECT doc_id,
+       'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+       'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/'
+         || CAST(doc_id AS VARCHAR)
+         || CASE doc_id % 4 WHEN 1 THEN '?q=1'
+                            WHEN 3 THEN '?a=1'
+                            ELSE '' END AS canon_url
+FROM documents"""
+
+    out["pii_scrub"] = """
+SELECT doc_id,
+       md5(text || ' contact <EMAIL> or <PHONE> at <IP>') AS scrub_md5,
+       1 AS n_email, 1 AS n_ip, 1 AS n_phone
+FROM documents"""
+
+    out["domain_stats"] = """
+SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+       count(*) AS n_pages,
+       CAST(sum(len(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(text)) AS BIGINT) / count(*) AS avg_chars
+FROM documents
+GROUP BY 1"""
 
     out["token_count_by_lang"] = """WITH
 t AS (

@@ -1,0 +1,117 @@
+"""Web-corpus hygiene operators: URL canonicalization, per-domain
+stats, and PII scrubbing — the steps a Common-Crawl-style pipeline
+(CCNet/C4/Dolma lineage) runs between raw capture and training text.
+All pure native column expressions (zero Python in the data path),
+patterns restricted to the regex subset that Java (Spark) and RE2
+(DuckDB) evaluate identically so every operator is oracle-checkable.
+
+The reference has no web layer (it is an OSM parser); these operators
+extend the engine's input side for the BASELINE.json input_hint table
+(url, warc_ts, html, text, lang).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host[:port]/...  -> host, any scheme case. (?i) and no
+# lookarounds/backrefs: the pattern must mean the same thing to Java
+# regex (Spark) and RE2 (DuckDB).
+_HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+# conservative email shape; intentionally no TLD validation (a scrub
+# that misses is worse than one that over-matches a fake address)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# international-ish phone runs: 7+ digits allowing separators, with a
+# leading digit/+ so ordinary prose numbers (years, counts) survive
+PHONE_RE = r"\+?[0-9][0-9()\[\] .-]{5,}[0-9]"
+# IPv4 (the dotted-quad shape; range checking is overkill for a scrub)
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host of a URL ('' when no scheme://host prefix).
+
+    regexp_extract, not parse_url: parse_url has no DuckDB
+    equivalent, and at scale both are the same codegen'd regex."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def url_canonical(url: Column | str) -> Column:
+    """Canonical URL for dedup keys: lowercase scheme+host, strip one
+    trailing slash, drop fragments and common tracking params
+    (utm_*), keep everything else. Deterministic, order-preserving
+    for the remaining query params (full param re-sorting needs a
+    sort over split parts — not worth a shuffle-adjacent expression
+    for a dedup key; callers needing it can explode+sort).
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    # drop #fragment
+    c = F.regexp_replace(c, r"#.*$", "")
+    # drop utm_* params, in separator-correct order: non-first params
+    # ('&utm_x=v') vanish outright; a FIRST-but-not-only utm hands its
+    # '?' to the next param; a lone '?utm_x=v' leaves a clean path
+    c = F.regexp_replace(c, r"&utm_[A-Za-z0-9_]*=[^&#]*", "")
+    c = F.regexp_replace(c, r"\?utm_[A-Za-z0-9_]*=[^&#]*&", "?")
+    c = F.regexp_replace(c, r"\?utm_[A-Za-z0-9_]*=[^&#]*$", "")
+    # lowercase scheme://host only (path stays case-sensitive)
+    head = F.lower(F.regexp_extract(c, r"(?i)^([a-z][a-z0-9+.-]*://[^/?#]*)", 1))
+    tail = F.regexp_replace(c, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    c = F.concat(head, tail)
+    # strip ONE trailing slash on a path (not the bare-host '//')
+    return F.regexp_replace(c, r"([^/])/$", r"$1")
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails, long phone-number runs, and IPv4 addresses with
+    typed placeholder tokens — the standard pre-training scrub. Order
+    matters: emails first (their local parts contain digits a phone
+    pass would mangle), then IPs (dotted digits would otherwise match
+    the phone run), then phones."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return c
+
+
+def pii_counts(text: Column | str) -> Column:
+    """struct(n_email, n_ip, n_phone): how many redactions scrub_pii
+    would make — the audit metric a pipeline logs per shard. Phone
+    count is measured AFTER email/IP removal, mirroring scrub order.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, IPV4_RE, "<IP>")
+    return F.struct(
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).alias("n_email"),
+        F.size(
+            F.regexp_extract_all(no_email, F.lit(IPV4_RE), 0)
+        ).alias("n_ip"),
+        F.size(F.regexp_extract_all(no_ip, F.lit(PHONE_RE), 0)).alias(
+            "n_phone"
+        ),
+    )
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """(host, n_pages, total_chars, avg_chars): per-domain corpus
+    stats — the unit at which crawl pipelines apply allow/deny lists
+    and per-domain caps. ONE shuffle on host with map-side partial
+    aggregation; at 10^12 pages the host key is heavy-tailed, but the
+    partial agg collapses each partition to its distinct hosts before
+    the exchange, so hot domains cost one row per input partition."""
+    return (
+        pages.select(
+            url_host(url_col).alias("host"),
+            F.length(text_col).cast("long").alias("chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("chars").alias("total_chars"),
+            (F.sum("chars") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Web-corpus hygiene operators (operators/web.py): edge cases beyond
+the oracle queries' constructed inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_jl_spark.operators.web import (
+    domain_stats,
+    pii_counts,
+    scrub_pii,
+    url_canonical,
+    url_host,
+)
+
+
+def _one(spark, s, col_fn):
+    df = spark.createDataFrame([(s,)], ["v"])
+    return df.select(col_fn(F.col("v")).alias("out")).first()["out"]
+
+
+def test_url_canonical_cases(spark):
+    cases = {
+        # trailing slash stripped, scheme+host lowered, path case kept
+        "HTTPS://Ex.ORG/Path/": "https://ex.org/Path",
+        # bare host: '//' not treated as a strippable path slash
+        "https://ex.org": "https://ex.org",
+        # all-utm query vanishes entirely
+        "https://ex.org/p?utm_a=1&utm_b=2": "https://ex.org/p",
+        # first-of-many utm hands its '?' over
+        "https://ex.org/p?utm_a=1&q=2&utm_b=3": "https://ex.org/p?q=2",
+        # fragment dropped before anything else
+        "https://ex.org/p?q=1#frag": "https://ex.org/p?q=1",
+        # non-utm params preserved in order
+        "https://ex.org/p?b=2&a=1": "https://ex.org/p?b=2&a=1",
+    }
+    for raw, want in cases.items():
+        got = _one(spark, raw, url_canonical)
+        assert got == want, (raw, got, want)
+
+
+def test_url_host_cases(spark):
+    assert _one(spark, "HTTP://WWW.Ex.org:8080/x", url_host) == \
+        "www.ex.org:8080"
+    assert _one(spark, "no-scheme/path", url_host) == ""
+
+
+def test_scrub_pii_cases(spark):
+    got = _one(
+        spark,
+        "mail a.b+c@d-e.org twice x@y.io, ip 192.168.0.1, "
+        "call +47 22 33 44 55 but keep 2024 and 3.14",
+        scrub_pii,
+    )
+    assert got == (
+        "mail <EMAIL> twice <EMAIL>, ip <IP>, "
+        "call <PHONE> but keep 2024 and 3.14"
+    ), got
+
+
+def test_pii_counts_cases(spark):
+    r = _one(
+        spark,
+        "a@b.co c@d.io 10.0.0.1 +1 555 123 4567 year 1999",
+        pii_counts,
+    )
+    assert (r["n_email"], r["n_ip"], r["n_phone"]) == (2, 1, 1), r
+
+
+def test_domain_stats_single_shuffle(spark):
+    from tests.test_plans import count_nodes, explain
+
+    pages = spark.createDataFrame(
+        [("https://a.org/1", "xx"), ("https://a.org/2", "yyy"),
+         ("https://b.org/1", "z")],
+        ["url", "text"],
+    )
+    out = {r["host"]: (r["n_pages"], r["total_chars"])
+           for r in domain_stats(pages).collect()}
+    assert out == {"a.org": (2, 5), "b.org": (1, 1)}
+    plan = explain(domain_stats(pages))
+    assert count_nodes(plan, "Exchange") == 1, plan

@@ -94,6 +94,12 @@ AUDITED = [
     ("neardup_keep_best", "pair graph -> connected components (labels "
      "stay in DataFrames) -> one map-side-combinable max(struct) "
      "argmax per cluster; corpus never sees a window"),
+    ("pii_scrub", "PII redaction is a pure narrow map: three chained "
+     "regexp_replace kernels + count extraction fused into the scan "
+     "projection - zero exchanges, zero Python"),
+    ("domain_stats", "per-domain rollup: ONE shuffle on host with "
+     "map-side partial aggregation; the host regex runs inside the "
+     "scan-side codegen stage"),
 ]
 
 

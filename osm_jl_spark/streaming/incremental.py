@@ -168,3 +168,30 @@ def streaming_exact_dedup(
             ["fp"]
         )
     return d.dropDuplicates(["fp"])
+
+
+def streaming_snapshot_latest(
+    stream: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Live-recrawl form of ``operators/dedup.snapshot_latest``: as
+    captures stream in, maintain the newest capture per key. The
+    aggregation body IS the batch operator (one ``max_by(struct, ts)``
+    groupBy — Structured Streaming turns the same declarative plan
+    into an incremental stateful one), so batch/stream parity is by
+    construction; the test pins it across micro-batch boundaries.
+
+    State: ONE compact row per key (the current winner struct + a
+    count) — state tracks distinct keys, not stream length, exactly
+    the property that makes the batch plan's map-side partial_max_by
+    scale. Emit with ``outputMode("update")`` (changed keys per
+    micro-batch; the production sink upserts) or ``"complete"`` for
+    small result sets. Keys never expire: a url's next capture may
+    arrive months later, so a watermark would silently resurrect old
+    snapshots as fresh wins — bound state by key-partitioning the
+    stream upstream instead.
+    """
+    from osm_jl_spark.operators.dedup import snapshot_latest
+
+    return snapshot_latest(stream, key=key, ts_col=ts_col)

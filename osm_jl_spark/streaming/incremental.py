@@ -13,6 +13,10 @@ parity requirement. Two pieces:
   (applyInPandasWithState) — per-user session tracking whose gap rule
   no built-in windowed aggregation expresses; converges to the batch
   ``events_sessionize`` answer when events arrive in time order.
+- ``streaming_exact_dedup`` / ``streaming_snapshot_latest``: ingest
+  hygiene as stateful streams — first-seen content dedup and
+  latest-capture-per-url (the input_hint's recrawl shape), both
+  pinned equal to their batch counterparts across micro-batches.
 - Checkpointed incremental BATCH — the form the north rule's
   resumability actually requires — lives in plans/manifest.py
   (``run_with_manifest``: unit-sliced pipeline, idempotent overwrite,

@@ -366,11 +366,24 @@ def simhash_near_dups(
     max_hamming: int = 3,
     shingle_n: int = 2,
     hash_fn: str = "xxhash64",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming <= max_hamming) via 4-block banding:
     two 64-bit hashes within hamming distance <=3 agree on at least one
     16-bit block (pigeonhole) -> block-bucket join, then exact hamming
-    check with bit_count (native)."""
+    check with bit_count (native).
+
+    Hot-bucket honesty: a (block, value) bucket shared by d docs emits
+    d*(d-1)/2 join rows, and unlike the minhash path there is NO
+    default cap, because capping would break the "provably complete
+    for hamming <= max_hamming" contract — near-identical template
+    pages really do share blocks, and those pairs are the answer. At
+    web scale, where a boilerplate block value can collect millions of
+    docs, pass ``bucket_cap`` to bound each bucket (pairs within a
+    capped bucket are still exact; pairs BETWEEN the dropped overflow
+    docs may be missed — the same bounded-recall trade
+    minhash_lsh_candidates makes), or exact-dedup boilerplate first.
+    """
     sigs = simhash_signatures(docs, id_col, text_col, shingle_n, hash_fn)
     blocks = sigs.select(
         "id",
@@ -384,6 +397,11 @@ def simhash_near_dups(
             )
         ).alias("blk", "bv"),
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("blk", "bv").orderBy("id")
+        blocks = blocks.withColumn(
+            "_rn", F.row_number().over(w)
+        ).filter(F.col("_rn") <= bucket_cap).drop("_rn")
     cand = (
         blocks.alias("x")
         .join(

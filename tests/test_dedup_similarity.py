@@ -200,3 +200,25 @@ def test_snapshot_latest_single_exchange(spark):
     plan = explain(D.snapshot_latest(crawls))
     assert count_nodes(plan, "Exchange") == 1, plan
     assert "partial_max_by" in plan, plan
+
+
+def test_simhash_bucket_cap_bounds_hot_buckets(spark):
+    """bucket_cap bounds a hot block bucket's pair blowup while pairs
+    among the kept (lowest-id) docs stay exact."""
+    rows = [(i, "alpha beta gamma delta " * 6) for i in range(12)]
+    rows += [(100 + i, f"unrelated text {i} " + "x y z " * 10)
+             for i in range(3)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = D.simhash_near_dups(docs, max_hamming=3)
+    capped = D.simhash_near_dups(docs, max_hamming=3, bucket_cap=5)
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # identical docs 0..11 all pair up uncapped: 66 pairs
+    assert {(a, b) for a, b in full_pairs if a < 12 and b < 12} == {
+        (a, b) for a in range(12) for b in range(12) if a < b
+    }
+    # capped keeps exactly the pairs among the 5 lowest ids per bucket
+    assert {(a, b) for a, b in capped_pairs if a < 12 and b < 12} == {
+        (a, b) for a in range(5) for b in range(5) if a < b
+    }
+    assert capped_pairs <= full_pairs

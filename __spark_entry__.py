@@ -200,6 +200,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "pt_idx", "polygon_id"
         )
 
+    def pip_grid_polygons_q(spark, sf_dir):
+        # 96-polygon PIP: the same broadcast cell-cover + unrolled
+        # even-odd join with a polygon DIMENSION 32x the fixture set —
+        # pins that cover size scales with the polygon table, not the
+        # fact side (the cover stays a broadcast; the points never
+        # shuffle). Oracle: full cross-join crossing count per
+        # (point, polygon) over the exact same 384 edges.
+        pts = _points(spark, sf_dir)
+        return J.nodes_in_polygons(pts, G.polygon_grid(), PRECISION).select(
+            "url", "pt_idx", "polygon_id"
+        )
+
     def tile_counts_q(spark, sf_dir):
         return TL.tile_counts(_points(spark, sf_dir), PRECISION)
 
@@ -1100,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": url_canonicalize_q,
         "pii_scrub": pii_scrub_q,
         "domain_stats": domain_stats_q,
+        "pip_grid_polygons": pip_grid_polygons_q,
         # -- driver-green in r1 but dropped by the r2 prefix
         "events_top3": events_top3_q,
         "events_sessionize": events_sessionize_q,
@@ -1199,6 +1212,13 @@ GROUP BY p.url, p.pt_idx, p.lon, p.lat
 HAVING {pip}"""
 
     out["pip_polygons"] = f"""WITH {pages}, {all_edges}
+SELECT p.url, p.pt_idx, e.polygon_id
+FROM pages_pts p, poly_edges e
+GROUP BY p.url, p.pt_idx, e.polygon_id, p.lon, p.lat
+HAVING {pip}"""
+
+    grid_edges = _edges_values(G.polygon_grid())
+    out["pip_grid_polygons"] = f"""WITH {pages}, {grid_edges}
 SELECT p.url, p.pt_idx, e.polygon_id
 FROM pages_pts p, poly_edges e
 GROUP BY p.url, p.pt_idx, e.polygon_id, p.lon, p.lat

@@ -58,6 +58,31 @@ OSLO_PENT = [
 POLYGONS = {1: FROGNER, 2: VITORIA_TRI, 3: OSLO_PENT}
 
 
+def polygon_grid() -> dict[int, list[tuple[float, float]]]:
+    """96 small square polygons tiling the two dense clusters (64 over
+    Oslo, 32 over Vitória — negative coords keep the trunc-cell
+    semantics honest): the many-polygon workload for the broadcast
+    cell-cover + PIP join, where the 3 reference fixtures alone say
+    nothing about how the operator behaves as the polygon DIMENSION
+    grows. Corners are exact decimal literals, so the DuckDB edge
+    VALUES reproduce them bit-for-bit."""
+    polys: dict[int, list[tuple[float, float]]] = {}
+    pid = 1
+    for i in range(64):  # 8 x 8 over the Oslo cluster box
+        x0 = round(10.710 + (i % 8) * 0.0025, 5)
+        y0 = round(59.918 + (i // 8) * 0.0011, 5)
+        x1, y1 = round(x0 + 0.0024, 5), round(y0 + 0.001, 5)
+        polys[pid] = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        pid += 1
+    for i in range(32):  # 8 x 4 over the Vitória cluster box
+        x0 = round(-40.360 + (i % 8) * 0.013, 5)
+        y0 = round(-20.330 + (i // 8) * 0.012, 5)
+        x1, y1 = round(x0 + 0.012, 5), round(y0 + 0.011, 5)
+        polys[pid] = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        pid += 1
+    return polys
+
+
 def counts_for_sf(sf: float) -> dict[str, int]:
     return {
         "docs": max(200, int(round(sf * 2_000_000))),

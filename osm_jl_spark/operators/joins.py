@@ -27,6 +27,7 @@ from osm_jl_spark.functions.cells import bbox_cell_range, with_cell
 from osm_jl_spark.functions.geo import (
     Ring,
     cell_cover,
+    pip_edges_fold_expr,
     pip_test_or_full_expr,
     pip_test_or_full_udf,
 )
@@ -93,6 +94,7 @@ def nodes_in_polygons(
     lon: str = "lon",
     lat: str = "lat",
     exact: str = "native",
+    unroll_limit: int = 32,
 ) -> DataFrame:
     """J3 (src/OSM.jl:210-218) as a scalable spatial join.
 
@@ -101,18 +103,38 @@ def nodes_in_polygons(
     exact reference boundary semantics src/coords.jl:69-78).
 
     Plan: encode cells natively -> broadcast-join the precomputed cover
-    (polygon_id, cx, cy, is_full) -> accept FULL matches, run the exact
-    pandas UDF only on boundary candidates. At 10^12 points this is a
-    map-side-only pipeline: no shuffle of the fact table at all.
+    (polygon_id, cx, cy, is_full, polygon bbox) -> bbox pre-test ->
+    exact even-odd only on surviving boundary candidates. At 10^12
+    points this is a map-side-only pipeline: no shuffle of the fact
+    table at all.
+
+    ``exact`` picks the boundary-candidate test:
+    - "native" (default): <= unroll_limit polygons use the UNROLLED
+      per-edge codegen CASE (fastest for small sets); larger sets
+      switch to "edges" automatically — the CASE's plan size and
+      branch chain grow with the polygon count until codegen gives up.
+    - "edges": broadcast a (polygon_id, edges array) dim and fold it
+      with F.aggregate — interpreted, but O(own edges) per row and
+      constant plan size; the many-polygon scale path.
+    - "udf": the Arrow/NumPy parity kernel.
     """
     spark = points.sparkSession
     cover_rows = []
     for pid, ring in sorted(polygons.items()):
         full, boundary = cell_cover(ring, precision)
-        cover_rows += [(pid, cx, cy, True) for cx, cy in sorted(full)]
-        cover_rows += [(pid, cx, cy, False) for cx, cy in sorted(boundary)]
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        bbox = (min(xs), max(xs), min(ys), max(ys))
+        cover_rows += [
+            (pid, cx, cy, True, *bbox) for cx, cy in sorted(full)
+        ]
+        cover_rows += [
+            (pid, cx, cy, False, *bbox) for cx, cy in sorted(boundary)
+        ]
     cover = spark.createDataFrame(
-        cover_rows, "polygon_id BIGINT, ccx BIGINT, ccy BIGINT, is_full BOOLEAN"
+        cover_rows,
+        "polygon_id BIGINT, ccx BIGINT, ccy BIGINT, is_full BOOLEAN, "
+        "bminx DOUBLE, bmaxx DOUBLE, bminy DOUBLE, bmaxy DOUBLE",
     )
 
     pts = with_cell(points, precision, lon=lon, lat=lat)
@@ -121,24 +143,70 @@ def nodes_in_polygons(
         (pts.cx == cover.ccx) & (pts.cy == cover.ccy),
         "inner",
     )
+    # Polygon-bbox pre-test (rides the broadcast cover — 4 doubles per
+    # cover row): a boundary CELL is a superset of the polygon's
+    # extent inside it, so when polygons are small relative to cells
+    # (fine admin boundaries, tile squares) most cell-matched
+    # candidates are nowhere near the polygon — measured 385k -> ~13k
+    # rows into the even-odd fold on the 96-square grid workload. A
+    # strict superset test (BETWEEN is inclusive; even-odd's strict
+    # inequalities exclude boundary points anyway), so semantics are
+    # untouched; full cells skip it like they skip the exact test.
+    cand = cand.filter(
+        F.col("is_full")
+        | (
+            (F.col(lon) >= F.col("bminx"))
+            & (F.col(lon) <= F.col("bmaxx"))
+            & (F.col(lat) >= F.col("bminy"))
+            & (F.col(lat) <= F.col("bmaxy"))
+        )
+    )
     # Single pass: FULL-cell rows short-circuit to true, boundary rows
-    # run the exact even-odd test. exact="native" (default) evaluates
-    # it as UNROLLED per-edge literal expressions inside codegen
-    # (higher-order folds have no codegen — see pip_ring_expr) — the
-    # whole join is then Python-free; exact="udf" keeps the Arrow/NumPy
-    # kernel (parity reference; also the path for polygon sets too
-    # large to inline as plan literals).
+    # run the exact even-odd test via the mode picked in the docstring
+    # (unrolled codegen CASE / edges-array fold / Arrow parity kernel).
+    if exact == "native" and len(polygons) > unroll_limit:
+        exact = "edges"
     if exact == "native":
         keep = pip_test_or_full_expr(
             polygons, F.col(lon), F.col(lat),
             F.col("polygon_id"), F.col("is_full"),
+        )
+    elif exact == "edges":
+        edge_rows = []
+        for pid, ring in sorted(polygons.items()):
+            n = len(ring)
+            edge_rows.append((
+                pid,
+                [
+                    (
+                        float(ring[i - 1][0]), float(ring[i - 1][1]),
+                        float(ring[i][0]), float(ring[i][1]),
+                    )
+                    for i in range(n)
+                ],
+            ))
+        edims = spark.createDataFrame(
+            edge_rows,
+            "polygon_id BIGINT, edges ARRAY<STRUCT<"
+            "ax: DOUBLE, ay: DOUBLE, bx: DOUBLE, by: DOUBLE>>",
+        )
+        cand = cand.join(F.broadcast(edims), "polygon_id")
+        keep = F.col("is_full") | pip_edges_fold_expr(
+            F.col(lon), F.col(lat), F.col("edges")
+        )
+        return cand.filter(keep).drop(
+            "ccx", "ccy", "is_full", "cx", "cy",
+            "bminx", "bmaxx", "bminy", "bmaxy", "edges",
         )
     else:
         test = pip_test_or_full_udf(polygons)
         keep = test(
             F.col(lon), F.col(lat), F.col("polygon_id"), F.col("is_full")
         )
-    return cand.filter(keep).drop("ccx", "ccy", "is_full", "cx", "cy")
+    return cand.filter(keep).drop(
+        "ccx", "ccy", "is_full", "cx", "cy",
+        "bminx", "bmaxx", "bminy", "bmaxy",
+    )
 
 
 def ways_in_polygon(

@@ -124,3 +124,32 @@ def test_shoelace_area2_square_and_degenerate(spark):
         "way_id", shoelace_area2_col(F.col("coords")).alias("a2")
     ).collect()}
     assert got == {1: 4, 2: -4, 3: 0}
+
+
+def test_edges_fold_matches_unrolled_and_udf(spark):
+    """All three exact-test modes (unrolled codegen CASE, edges-array
+    fold, Arrow kernel) must emit identical join rows on the same
+    polygon set — the fold is the many-polygon scale path and must be
+    a bit-level equivalent, not an approximation."""
+    from osm_jl_spark.datagen import load_pages_points, polygon_grid
+    from osm_jl_spark.operators.joins import nodes_in_polygons
+
+    pts = load_pages_points(spark, 400)
+    polys = polygon_grid()
+    key = lambda r: (r["url"], r["pt_idx"], r["polygon_id"])  # noqa: E731
+    # force each mode explicitly (unroll_limit high enough to keep
+    # 'native' unrolled even at 96 polygons)
+    unrolled = {
+        key(r) for r in nodes_in_polygons(
+            pts, polys, 2, exact="native", unroll_limit=1000
+        ).collect()
+    }
+    fold = {
+        key(r)
+        for r in nodes_in_polygons(pts, polys, 2, exact="edges").collect()
+    }
+    udf = {
+        key(r)
+        for r in nodes_in_polygons(pts, polys, 2, exact="udf").collect()
+    }
+    assert unrolled == fold == udf and len(fold) > 0

@@ -100,6 +100,10 @@ AUDITED = [
     ("domain_stats", "per-domain rollup: ONE shuffle on host with "
      "map-side partial aggregation; the host regex runs inside the "
      "scan-side codegen stage"),
+    ("pip_grid_polygons", "96-polygon PIP: cover AND edge-array dims "
+     "both broadcast; bbox pre-test prunes candidates before the "
+     "even-odd fold; fact side never shuffles regardless of polygon "
+     "count"),
 ]
 
 

@@ -118,31 +118,74 @@ def nodes_in_polygons(
       constant plan size; the many-polygon scale path.
     - "udf": the Arrow/NumPy parity kernel.
     """
+    import math
+
     spark = points.sparkSession
+    step = 10 ** -precision
+    max_cells = 250_000  # per-polygon cover budget (broadcast rows)
     cover_rows = []
+    big_rows = []
     for pid, ring in sorted(polygons.items()):
-        full, boundary = cell_cover(ring, precision)
         xs = [p[0] for p in ring]
         ys = [p[1] for p in ring]
         bbox = (min(xs), max(xs), min(ys), max(ys))
+        xlo, xhi = math.trunc(bbox[0] / step), math.trunc(bbox[1] / step)
+        ylo, yhi = math.trunc(bbox[2] / step), math.trunc(bbox[3] / step)
+        if (xhi - xlo + 1) * (yhi - ylo + 1) > max_cells:
+            # CONTINENT-SCALE polygon: enumerating its cover would
+            # broadcast millions of cell rows (a world polygon at
+            # precision 2 is 6.5M). One RANGE row per polygon instead;
+            # the join becomes a broadcast cell-range predicate — same
+            # candidates, O(1) broadcast size per big polygon.
+            big_rows.append((pid, xlo, xhi, ylo, yhi, False, *bbox))
+            continue
+        full, boundary = cell_cover(ring, precision)
         cover_rows += [
             (pid, cx, cy, True, *bbox) for cx, cy in sorted(full)
         ]
         cover_rows += [
             (pid, cx, cy, False, *bbox) for cx, cy in sorted(boundary)
         ]
-    cover = spark.createDataFrame(
-        cover_rows,
-        "polygon_id BIGINT, ccx BIGINT, ccy BIGINT, is_full BOOLEAN, "
-        "bminx DOUBLE, bmaxx DOUBLE, bminy DOUBLE, bmaxy DOUBLE",
-    )
 
     pts = with_cell(points, precision, lon=lon, lat=lat)
-    cand = pts.join(
-        F.broadcast(cover),
-        (pts.cx == cover.ccx) & (pts.cy == cover.ccy),
-        "inner",
-    )
+    parts = []
+    if cover_rows:
+        cover = spark.createDataFrame(
+            cover_rows,
+            "polygon_id BIGINT, ccx BIGINT, ccy BIGINT, is_full BOOLEAN, "
+            "bminx DOUBLE, bmaxx DOUBLE, bminy DOUBLE, bmaxy DOUBLE",
+        )
+        parts.append(
+            pts.join(
+                F.broadcast(cover),
+                (pts.cx == cover.ccx) & (pts.cy == cover.ccy),
+                "inner",
+            ).drop("ccx", "ccy")
+        )
+    if big_rows:
+        bigd = spark.createDataFrame(
+            big_rows,
+            "polygon_id BIGINT, cxlo BIGINT, cxhi BIGINT, "
+            "cylo BIGINT, cyhi BIGINT, is_full BOOLEAN, "
+            "bminx DOUBLE, bmaxx DOUBLE, bminy DOUBLE, bmaxy DOUBLE",
+        )
+        parts.append(
+            pts.join(
+                F.broadcast(bigd),
+                (pts.cx >= bigd.cxlo) & (pts.cx <= bigd.cxhi)
+                & (pts.cy >= bigd.cylo) & (pts.cy <= bigd.cyhi),
+                "inner",
+            ).drop("cxlo", "cxhi", "cylo", "cyhi")
+        )
+    if not parts:  # empty polygon set: no rows, stable schema
+        return (
+            pts.drop("cx", "cy")
+            .withColumn("polygon_id", F.lit(None).cast("long"))
+            .limit(0)
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
     # Polygon-bbox pre-test (rides the broadcast cover — 4 doubles per
     # cover row): a boundary CELL is a superset of the polygon's
     # extent inside it, so when polygons are small relative to cells

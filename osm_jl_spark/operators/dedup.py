@@ -585,6 +585,103 @@ def snapshot_latest(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    min_len: int = 1,
+) -> DataFrame:
+    """Line-level dedup (CCNet/C4-style boilerplate stripping): remove
+    every line that occurs in at least ``min_df`` DISTINCT documents —
+    navigation menus, cookie banners, copyright footers — while
+    preserving each document's surviving lines in order. The standard
+    pretraining-hygiene pass a corpus pipeline runs between crawl
+    snapshotting and document-level dedup.
+
+    Output: one row per input document (docs with ALL lines removed
+    keep a row with empty text) — (id_col, clean_text, n_lines,
+    n_kept).
+
+    Semantics:
+    - A line's document frequency counts documents, not occurrences: a
+      line repeated 50x inside ONE doc has df=1 and is kept.
+    - Lines whose trimmed length is below ``min_len`` (blank lines by
+      default) never participate in dedup and are always kept — they
+      are structure, not boilerplate, and a corpus-wide blank-line df
+      would strip every paragraph break.
+    - Line identity is the EXACT line string (no normalization); the
+      64-bit hash collision risk is the same ~n²/2⁶⁴ accepted by every
+      other hash in this module.
+
+    Plan (zero per-row Python, two shuffles, both on uniform keys):
+    1. Document frequency: each doc reduces to its DISTINCT eligible
+       line hashes as a narrow map (``array_distinct`` BEFORE the
+       explode — the same map-side trick as ``_shingle_hashes``, so the
+       groupBy input is already (doc, line)-unique), then ONE map-side
+       combinable count per line hash. No count_distinct expand, no
+       second exchange.
+    2. Removal + reassembly: posexplode lines, left-join the hot-line
+       dim (df >= min_df — at web scale a tiny fraction of distinct
+       lines, so AQE broadcasts it; the join key is the uniform hash
+       either way), then ONE groupBy on the doc id rebuilding the text
+       with sort_array + array_join. The regroup shuffles the corpus
+       text once — the price of exact in-order reassembly; the
+       bounded-memory alternative at 10^12 docs is writing the hot-line
+       dim to a table once and applying this second stage as a narrow
+       broadcast-filter over ``F.filter(lines, ...)`` — possible only
+       when the hot set fits a broadcast, which min_df thresholds are
+       designed to make true.
+    """
+    # NULL text behaves as empty (one blank line, kept): posexplode of
+    # a NULL array would silently DROP the document row otherwise
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    eligible = F.filter(
+        lines, lambda ln: F.length(F.trim(ln)) >= min_len
+    )
+    hot = (
+        docs.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(eligible, lambda ln: F.xxhash64(ln))
+                )
+            ).alias("lh")
+        )
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .withColumn("is_hot", F.lit(True))
+        .select("lh", "is_hot")
+    )
+    ex = docs.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    ).withColumn(
+        "lh",
+        F.when(
+            F.length(F.trim("line")) >= min_len, F.xxhash64("line")
+        ),  # ineligible lines get NULL -> never match the hot dim
+    )
+    joined = ex.join(hot, "lh", "left")
+    kept_struct = F.when(
+        F.col("is_hot").isNull(), F.struct("pos", "line")
+    )  # collect_list skips NULLs: hot lines drop out here
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(kept_struct).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(id_col, "clean_text", "n_lines", "n_kept")
+    )
+
+
 def neardup_keep_best(
     docs: DataFrame,
     pairs: DataFrame,

@@ -222,3 +222,66 @@ def test_simhash_bucket_cap_bounds_hot_buckets(spark):
         (a, b) for a in range(5) for b in range(5) if a < b
     }
     assert capped_pairs <= full_pairs
+
+
+def test_line_dedup_strips_cross_doc_lines_in_order(spark):
+    """CCNet/C4-style boilerplate stripping: a line in >= min_df
+    distinct docs is removed everywhere; unique lines survive in their
+    original order; blank lines (below min_len) never participate."""
+    rows = [
+        (1, "NAV MENU\nunique one\n\nbody of doc one\nCOPYRIGHT"),
+        (2, "NAV MENU\nunique two\n\nbody of doc two\nCOPYRIGHT"),
+        (3, "NAV MENU\nunique three\nCOPYRIGHT"),
+        (4, "standalone document with no boilerplate at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in D.line_dedup(docs, min_df=3).collect()
+    }
+    assert out[1]["clean_text"] == "unique one\n\nbody of doc one"
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 3
+    assert out[2]["clean_text"] == "unique two\n\nbody of doc two"
+    assert out[3]["clean_text"] == "unique three"
+    assert out[4]["clean_text"] == rows[3][1]  # untouched
+    assert out[4]["n_lines"] == 1 and out[4]["n_kept"] == 1
+
+
+def test_line_dedup_within_doc_repeats_have_df_1(spark):
+    """Document frequency counts DOCUMENTS: a line repeated 50x inside
+    one doc is kept (df=1), and all 50 copies survive."""
+    spam = "\n".join(["repeated line"] * 50)
+    docs = spark.createDataFrame(
+        [(1, spam), (2, "something else entirely")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in D.line_dedup(docs, min_df=2).collect()}
+    assert out[1]["clean_text"] == spam
+    assert out[1]["n_kept"] == 50
+
+
+def test_line_dedup_all_removed_doc_keeps_empty_row(spark):
+    """A doc made ENTIRELY of boilerplate still emits a row (empty
+    clean text) — dropping it would silently shrink the corpus row
+    count, breaking downstream joins keyed on doc_id."""
+    docs = spark.createDataFrame(
+        [(1, "SAME"), (2, "SAME"), (3, "SAME\nplus extra")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in D.line_dedup(docs, min_df=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+    assert out[3]["clean_text"] == "plus extra"
+
+
+def test_line_dedup_blank_lines_exempt_and_null_text(spark):
+    """Blank lines appear in EVERY doc yet are never removed
+    (min_len exempts them — they are structure, not boilerplate);
+    NULL text behaves as empty instead of dropping the row."""
+    docs = spark.createDataFrame(
+        [(1, "a\n\nx y z"), (2, "b\n\nq r s"), (3, None), (4, "c\n\nt u")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in D.line_dedup(docs, min_df=2).collect()}
+    assert out[1]["clean_text"] == "a\n\nx y z"
+    assert out[3]["clean_text"] == "" and out[3]["n_lines"] == 1

@@ -104,6 +104,12 @@ AUDITED = [
      "both broadcast; bbox pre-test prunes candidates before the "
      "even-odd fold; fact side never shuffles regardless of polygon "
      "count"),
+    ("line_dedup", "CCNet-style line-level dedup: document frequency "
+     "is ONE map-side-combinable shuffle on the line hash "
+     "(array_distinct BEFORE the explode - no count_distinct expand); "
+     "the hot-line dim broadcasts; in-order reassembly is the ONE "
+     "unavoidable corpus shuffle (groupBy doc id) - 2 exchanges "
+     "total, both uniform keys, zero Python"),
 ]
 
 

@@ -216,33 +216,72 @@ def pip_test_or_full_expr(polygons: dict[int, Ring], lon, lat, pid, is_full):
 
 # ------------------------------------------------------------ cell cover
 
+# Single source of truth for the driver-side cover enumeration budget:
+# a cover row costs ~60 B broadcast, so 250k rows ~ 15 MB per polygon.
+# Shared by cell_cover, joins.nodes_in_polygons (which pre-tests the
+# bbox and routes over-budget polygons to the broadcast cell-RANGE
+# join) and tiling.vector_to_raster (which enumerates over-budget
+# covers DISTRIBUTEDLY via sequence+explode). Keeping one constant is
+# the point: round 3 duplicated the value in joins.py, and a drift
+# would have let a continent polygon slip past the guard into the
+# driver-side enumeration below.
+COVER_BUDGET = 250_000
+
+
+class CoverBudgetError(ValueError):
+    """A polygon's bbox exceeds the driver-side cell enumeration
+    budget. Callers must route such polygons to a range representation
+    (joins.py's broadcast cell-range join; tiling.py's distributed
+    sequence-explode raster) instead of enumerating cells on the
+    driver — a world polygon at precision 2 is ~648M cells."""
+
+
+def cell_bbox_range(
+    ring: Ring, precision: int
+) -> tuple[int, int, int, int]:
+    """(xlo, xhi, ylo, yhi) trunc-cell bounds of the ring's bbox — the
+    O(1)-size range marker used instead of an enumerated cover when a
+    polygon is over budget."""
+    step = 10**-precision
+    xs = [v[0] for v in ring]
+    ys = [v[1] for v in ring]
+    return (
+        math.trunc(min(xs) / step),
+        math.trunc(max(xs) / step),
+        math.trunc(min(ys) / step),
+        math.trunc(max(ys) / step),
+    )
+
 
 def cell_cover(
-    ring: Ring, precision: int, max_cells: int = 250_000
+    ring: Ring, precision: int, max_cells: int = COVER_BUDGET
 ) -> tuple[set[tuple[int, int]], set[tuple[int, int]]]:
     """Classify the polygon's bbox cells: (full_cells, boundary_cells).
 
     BOUNDARY = any cell whose area an edge's bbox touches (conservative
     superset of edge-crossed cells). FULL = untouched bbox cell whose
     center is inside (even-odd is constant across an edge-free cell, so
-    the center decides the whole cell). If the bbox exceeds
-    ``max_cells`` the cover degrades to "everything is boundary" over
-    the bbox — correct, just less pruned (exact PIP filters the rest).
+    the center decides the whole cell).
+
+    Raises :class:`CoverBudgetError` when the bbox exceeds
+    ``max_cells``: this function enumerates cells into driver-side
+    Python sets, and the pre-round-4 fallback ("everything is
+    boundary" over the bbox) enumerated the very set the budget
+    existed to prevent — ~GB of driver heap for a world polygon.
+    Callers with big polygons must use :func:`cell_bbox_range` and a
+    range-predicate join (joins.py) or distributed enumeration
+    (tiling.py) instead.
     """
     step = 10**-precision
-    xs = [v[0] for v in ring]
-    ys = [v[1] for v in ring]
-    xlo = math.trunc(min(xs) / step)
-    xhi = math.trunc(max(xs) / step)
-    ylo = math.trunc(min(ys) / step)
-    yhi = math.trunc(max(ys) / step)
+    xlo, xhi, ylo, yhi = cell_bbox_range(ring, precision)
     nx, ny = xhi - xlo + 1, yhi - ylo + 1
     if nx * ny > max_cells:
-        return set(), {
-            (cx, cy)
-            for cx in range(xlo, xhi + 1)
-            for cy in range(ylo, yhi + 1)
-        }
+        raise CoverBudgetError(
+            f"polygon bbox covers {nx}x{ny} = {nx * ny} cells at "
+            f"precision {precision}, over the {max_cells}-cell budget; "
+            "use cell_bbox_range + a range join / distributed "
+            "enumeration"
+        )
 
     boundary: set[tuple[int, int]] = set()
     n = len(ring)

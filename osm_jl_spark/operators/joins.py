@@ -118,25 +118,38 @@ def nodes_in_polygons(
       constant plan size; the many-polygon scale path.
     - "udf": the Arrow/NumPy parity kernel.
     """
-    import math
+    from osm_jl_spark.functions.geo import COVER_BUDGET, cell_bbox_range
 
     spark = points.sparkSession
-    step = 10 ** -precision
-    max_cells = 250_000  # per-polygon cover budget (broadcast rows)
+    # Budgets (geo.COVER_BUDGET is the single shared constant — round 3
+    # duplicated the value here, and a drift would have sent continent
+    # polygons into cell_cover's driver-side enumeration):
+    # - per polygon: an over-budget bbox never enumerates; it becomes
+    #   ONE broadcast range row.
+    # - AGGREGATE (ADVICE r3): N medium polygons can each stay under
+    #   the per-polygon budget yet sum to an executor-OOM broadcast
+    #   (N x 250k rows x ~60 B). Once the running total crosses
+    #   4 x COVER_BUDGET (~60 MB), later polygons spill to the range
+    #   path too — deterministic (sorted pid order), and exactness is
+    #   untouched: range-joined candidates run the same bbox pre-test
+    #   + exact even-odd, they just skip the full-cell short-circuit.
+    max_cells = COVER_BUDGET
+    agg_budget = 4 * COVER_BUDGET
     cover_rows = []
     big_rows = []
     for pid, ring in sorted(polygons.items()):
         xs = [p[0] for p in ring]
         ys = [p[1] for p in ring]
         bbox = (min(xs), max(xs), min(ys), max(ys))
-        xlo, xhi = math.trunc(bbox[0] / step), math.trunc(bbox[1] / step)
-        ylo, yhi = math.trunc(bbox[2] / step), math.trunc(bbox[3] / step)
-        if (xhi - xlo + 1) * (yhi - ylo + 1) > max_cells:
-            # CONTINENT-SCALE polygon: enumerating its cover would
-            # broadcast millions of cell rows (a world polygon at
-            # precision 2 is 6.5M). One RANGE row per polygon instead;
-            # the join becomes a broadcast cell-range predicate — same
-            # candidates, O(1) broadcast size per big polygon.
+        xlo, xhi, ylo, yhi = cell_bbox_range(ring, precision)
+        n_bbox = (xhi - xlo + 1) * (yhi - ylo + 1)
+        if n_bbox > max_cells or len(cover_rows) + n_bbox > agg_budget:
+            # CONTINENT-SCALE polygon (or aggregate budget exhausted):
+            # enumerating the cover would broadcast millions of cell
+            # rows (a world polygon at precision 2 is ~648M). One
+            # RANGE row per polygon instead; the join becomes a
+            # broadcast cell-range predicate — same candidates, O(1)
+            # broadcast size per big polygon.
             big_rows.append((pid, xlo, xhi, ylo, yhi, False, *bbox))
             continue
         full, boundary = cell_cover(ring, precision)

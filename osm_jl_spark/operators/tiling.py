@@ -158,14 +158,71 @@ def vector_to_raster(
     precision: int = 2,
 ) -> DataFrame:
     """Vector->raster: polygon -> its cell cover as tile rows
-    (polygon_id, cx, cy, coverage) with coverage in {'full','boundary'}."""
-    from osm_jl_spark.functions.geo import cell_cover
+    (polygon_id, cx, cy, coverage) with coverage in {'full','boundary'}.
+
+    Polygons whose bbox exceeds the shared ``geo.COVER_BUDGET`` are
+    enumerated DISTRIBUTEDLY — one range row per polygon exploded via
+    ``sequence()`` on executors (with a tiny repartition of the x-rows
+    between the two explodes, so the y-explosion of a continent
+    polygon parallelizes instead of landing on one task) — never into
+    driver memory. Their cells are all labeled ``boundary`` (the same
+    degraded-but-correct classification the old driver-side fallback
+    used; full/boundary refinement of millions of cells belongs to a
+    follow-up PIP over cell centers, not the cover pass).
+    """
+    from osm_jl_spark.functions.geo import (
+        COVER_BUDGET,
+        cell_bbox_range,
+        cell_cover,
+    )
 
     rows = []
+    big = []
     for pid, ring in sorted(polygons.items()):
+        xlo, xhi, ylo, yhi = cell_bbox_range(ring, precision)
+        if (xhi - xlo + 1) * (yhi - ylo + 1) > COVER_BUDGET:
+            big.append((pid, xlo, xhi, ylo, yhi))
+            continue
         full, boundary = cell_cover(ring, precision)
         rows += [(pid, cx, cy, "full") for cx, cy in sorted(full)]
         rows += [(pid, cx, cy, "boundary") for cx, cy in sorted(boundary)]
-    return spark.createDataFrame(
-        rows, "polygon_id BIGINT, cx BIGINT, cy BIGINT, coverage STRING"
-    )
+    parts = []
+    if rows:
+        parts.append(
+            spark.createDataFrame(
+                rows,
+                "polygon_id BIGINT, cx BIGINT, cy BIGINT, coverage STRING",
+            )
+        )
+    if big:
+        ranges = spark.createDataFrame(
+            big,
+            "polygon_id BIGINT, xlo BIGINT, xhi BIGINT, "
+            "ylo BIGINT, yhi BIGINT",
+        )
+        parts.append(
+            ranges.select(
+                "polygon_id",
+                F.explode(F.sequence("xlo", "xhi")).alias("cx"),
+                "ylo",
+                "yhi",
+            )
+            # spread the x-rows before the big explode: without this
+            # the whole (nx * ny)-row product of one polygon generates
+            # inside a single task
+            .repartition("polygon_id", "cx")
+            .select(
+                "polygon_id",
+                "cx",
+                F.explode(F.sequence("ylo", "yhi")).alias("cy"),
+                F.lit("boundary").alias("coverage"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "polygon_id BIGINT, cx BIGINT, cy BIGINT, coverage STRING"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

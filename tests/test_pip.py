@@ -179,3 +179,33 @@ def test_continent_scale_polygon_range_join_path(spark):
         if point_in_polygon(r["lon"], r["lat"], big)
     }
     assert got == want and len(want) > 0
+
+
+def test_aggregate_cover_budget_spills_to_range_join(spark, monkeypatch):
+    """ADVICE r3: N medium polygons can each clear the per-polygon
+    budget yet sum to an OOM-sized broadcast. With the budget squeezed
+    so the aggregate cap trips mid-set, later polygons must spill to
+    the one-row range-join path — and the answer must not change."""
+    from osm_jl_spark.datagen import load_pages_points
+    from osm_jl_spark.functions import geo
+    from osm_jl_spark.operators.joins import nodes_in_polygons
+
+    # 24 squares of ~36 bbox cells each at precision 2 (864 total),
+    # tiled over the Oslo area where load_pages_points has density
+    def sq(x, y, s=0.05):
+        return [(x, y), (x + s, y), (x + s, y + s), (x, y + s)]
+
+    grid = {
+        i + 1: sq(10.60 + 0.06 * (i % 6), 59.85 + 0.06 * (i // 6))
+        for i in range(24)
+    }
+    pts = load_pages_points(spark, 400)
+    key = lambda r: (r["url"], r["pt_idx"], r["polygon_id"])  # noqa: E731
+    want = {key(r) for r in nodes_in_polygons(pts, grid, 2).collect()}
+
+    # per-polygon budget 40 admits every square (36 cells), but the
+    # aggregate cap 4*40=160 trips after ~4 squares — the remaining
+    # ~20 must take the range-join spill, with identical results
+    monkeypatch.setattr(geo, "COVER_BUDGET", 40)
+    got = {key(r) for r in nodes_in_polygons(pts, grid, 2).collect()}
+    assert got == want and len(want) > 0

@@ -251,10 +251,16 @@ def _expand_level(
         .select(*_QCOLS, "need")
     )
     # queries with < k candidates in the 9-cell disk are too sparse
-    # for THIS grid; the next (coarser) level sees them as dense
+    # for THIS grid; the next (coarser) level sees them as dense.
+    # ``r0`` is the grow-loop START radius (final level only): sparse
+    # queries begin at 4, but queries that already failed a round-2
+    # jump at ``need == jump_cap`` have PROVABLY searched an
+    # (2*jump_cap+1)-cell disk without closing — re-running the grow
+    # loop at r <= jump_cap for them is a wasted scheduler round per
+    # level (ADVICE r3), so they start one geometric step past it.
     unresolved = st1.filter(~F.col("fin") & (F.col("n") < k)).select(
         "query_id", "qlon", "qlat"
-    )
+    ).withColumn("r0", F.lit(4))
     if jump.limit(1).count() > 0:
         topk2 = _disk_join_topk(pts, jump, "need", k).cache()
         caches.append(topk2)
@@ -283,7 +289,9 @@ def _expand_level(
         )
         # unfinished at r2 only when the jump was clamped at jump_cap
         unresolved = unresolved.unionByName(
-            st2.filter(~F.col("fin2")).select("query_id", "qlon", "qlat")
+            st2.filter(~F.col("fin2"))
+            .select("query_id", "qlon", "qlat")
+            .withColumn("r0", F.lit(max(16, 2 * jump_cap)))
         )
     # localCheckpoint (eager, tiny DF — at most one row per pending
     # query) truncates lineage between levels/iterations: without it
@@ -294,28 +302,41 @@ def _expand_level(
     # ContextCleaner once the returned result is materialized and the
     # per-round references go out of scope.
     if not final:
-        return unresolved.localCheckpoint()
+        return unresolved.drop("r0").localCheckpoint()
 
     # ---- geometric grow loop (coarsest level only): quadruple the
     # disk until each query holds k PROVEN neighbors or the radius cap
     # is hit. Each iteration touches only the still-growing queries,
     # so the candidate volume stays sum-of-local-disks — never the
     # q x corpus product of the brute fallback this loop exists to
-    # starve.
-    grow = q_all.join(unresolved.select("query_id"), "query_id",
-                      "left_semi").localCheckpoint()
-    r = 4
+    # starve. Per-query ``r0`` gates entry: a query only joins an
+    # iteration once rr reaches its start radius (unfinished-jump
+    # queries skip the provably-insufficient small disks); the loop
+    # itself is SEEDED from min(r0) — one scalar probe — so an
+    # all-jump pending set starts at 16 instead of burning a round at
+    # 4 over zero active queries.
+    grow = q_all.join(
+        unresolved.select("query_id", "r0"), "query_id", "inner"
+    ).localCheckpoint()
+    seed = grow.agg(F.min("r0").alias("m")).first()["m"]
+    if seed is None:  # nothing unresolved at the final level
+        return grow.select("query_id", "qlon", "qlat")
+    r = int(seed)
     while r <= max_r * 4:
         rr = min(r, max_r)
         if grow.limit(1).count() == 0:  # scalar emptiness probe
             return grow.select("query_id", "qlon", "qlat")
-        topg = _disk_join_topk(pts, grow, rr, k).cache()
+        # hold-outs whose start radius exceeds this iteration's disk:
+        # searching below r0 cannot finish them (already proven)
+        active = grow.filter(F.col("r0") <= rr)
+        held = grow.filter(F.col("r0") > rr)
+        topg = _disk_join_topk(pts, active, rr, k).cache()
         caches.append(topg)
         statsg = topg.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n"), F.max("d2").alias("dk")
         )
         stg = (
-            grow.join(statsg, "query_id", "left")
+            active.join(statsg, "query_id", "left")
             .withColumn(
                 "fing",
                 (F.coalesce("n", F.lit(0)) >= k)
@@ -332,7 +353,12 @@ def _expand_level(
             ).select("query_id", "id", F.col("rn").alias("rank"))
         )
         # same lineage-truncation as the inter-level handoff
-        grow = stg.filter(~F.col("fing")).select(*_QCOLS).localCheckpoint()
+        grow = (
+            stg.filter(~F.col("fing"))
+            .select(*_QCOLS, "r0")
+            .unionByName(held)
+            .localCheckpoint()
+        )
         if rr == max_r:
             break
         r *= 4

@@ -201,12 +201,19 @@ def load_pages(spark: SparkSession, n_docs: int) -> DataFrame:
     html wraps text in deterministic markup; the engine's ingestion path
     re-extracts text from html via the pandas UDF, and pytest pins the
     byte-identical invariant.
+
+    ``warc_ts`` is TIMESTAMP_NTZ via the same interval-arithmetic
+    construction as :func:`load_crawls` (ADVICE r3: this loader had
+    kept the session-timezone-dependent ``timestamp_seconds`` LTZ
+    form, so the two tables carried different timestamp types and
+    pages was correct only under session.py's UTC pin).
     """
     ctes = pages_ctes("spark", n_docs)
     return spark.sql(
         f"""WITH {ctes}
 SELECT url,
-       timestamp_seconds(warc_epoch) AS warc_ts,
+       timestampadd(SECOND, warc_epoch,
+                    TIMESTAMP_NTZ '1970-01-01 00:00:00') AS warc_ts,
        encode(concat('<html><body><p>', text, '</p></body></html>'), 'utf-8') AS html,
        text,
        lang

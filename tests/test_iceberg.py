@@ -24,21 +24,44 @@ ICEBERG_MISSING_MARKERS = (
     "ClassNotFoundException",
 )
 
+# errors a PRESENT iceberg runtime raises for our deliberately-bogus
+# probe path: the source class loaded and got as far as resolving the
+# location, which is all the probe needs to know
+ICEBERG_PRESENT_MARKERS = (
+    "PATH_NOT_FOUND",
+    "Path does not exist",
+    "NoSuchTableException",
+    "Table does not exist",
+    "Cannot find",
+)
+
 
 def _iceberg_unavailable_reason(spark) -> str | None:
-    """None when the Iceberg DSv2 source is loadable; otherwise the
-    error string proving it is the CLASSPATH that is missing (any
-    other failure mode raises, so it can never masquerade as a clean
-    skip)."""
+    """Three-state probe (ADVICE r3): None when the Iceberg DSv2
+    source is LOADABLE (the bogus probe path raises a path/table
+    resolution error, proving the class was found); the error string
+    when specifically the CLASSPATH is missing; and a RAISE for any
+    other failure — the old two-state version returned None for
+    unexpected breakage, which made the parquet-fallback test silently
+    skip as 'runtime present' instead of failing."""
     try:
         spark.read.format("iceberg").load("/definitely/missing/table")
-        return None  # loadable source, bad path -> would have raised
+        raise AssertionError(
+            "probe load of a nonexistent table cannot succeed"
+        )
+    except AssertionError:
+        raise
     except Exception as e:  # noqa: BLE001 - classified below
         msg = str(e)
         hit = next((m for m in ICEBERG_MISSING_MARKERS if m in msg), None)
         if hit is not None:
             return f"{hit}: {msg.splitlines()[0][:160]}"
-        return None
+        if any(m in msg for m in ICEBERG_PRESENT_MARKERS):
+            return None  # source loadable; only the probe path is bad
+        raise RuntimeError(
+            "iceberg probe failed for a reason that is neither "
+            f"missing-classpath nor path-resolution: {msg[:300]}"
+        ) from e
 
 
 def _pages_df(spark, n=50):

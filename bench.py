@@ -248,6 +248,7 @@ def main() -> None:
     # completed (lo, hi) pair is a valid measurement; rounds after the
     # first are noise rejection, affordable only if time remains.
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "1500"))
+    rounds_done = 0
     for rnd in range(3):
         if rnd > 0 and time.time() - scale_t0 > budget_s:
             print(f"[round {rnd}] skipped: scaling phase past "
@@ -294,6 +295,7 @@ def main() -> None:
                     prev = scaling.get(int(c))
                     if prev is None or float(dt) < prev[0]:
                         scaling[int(c)] = (float(dt), int(nd))
+        rounds_done = rnd + 1
         # Early exit once the measurement is already conclusive: extra
         # rounds exist ONLY for noise rejection (a bad-weather window
         # poisoning one level), and min-per-level means further rounds
@@ -302,8 +304,10 @@ def main() -> None:
         # and the measured machine ceiling, more rounds cannot change
         # the gate verdict — but on a bad-weather day (lo runs 2-3x
         # slow) they can double-to-triple a 20-minute phase. Bound the
-        # cost, keep the estimator.
-        if len(scaling) == 2:
+        # cost, keep the estimator. VERDICT r3 #5: a minimum of TWO
+        # completed interleave rounds before any early exit, so the
+        # recorded artifact is never a single-window measurement.
+        if rnd >= 1 and len(scaling) == 2:
             _sp = (scaling[lo_cores][0] / scaling[hi_cores][0])
             _nom = hi_cores / lo_cores
             _ceil = max(ceilings) if ceilings else _nom
@@ -361,6 +365,9 @@ def main() -> None:
             # captured — the honest number on a shared host.
             "cpu_ceiling_speedup": round(ceiling, 2),
             "efficiency_vs_ceiling": round(min(speedup / ceiling, 1.0), 3),
+            # how many full (lo, hi) interleave rounds produced this
+            # min-per-level estimate (>= 2 by construction since r4)
+            "interleave_rounds": rounds_done,
         }
         if speedup > max(hi_cores / lo_cores, ceiling) * 1.15:
             # see the plausibility guard above: this pair's lo sample

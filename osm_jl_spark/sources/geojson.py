@@ -82,7 +82,9 @@ def way_features(
 
 def feature_collection(features: DataFrame) -> str:
     """Driver-side FeatureCollection assembly (K2, src/geojson.jl:36-41)
-    — for small result sets only; large outputs use write_jsonl."""
+    — for small result sets only (single-document parity with the
+    reference); the scale path is :func:`write_jsonl`, whose physical
+    plan is audited in PLANS.md ("write_jsonl (GeoJSON sink)")."""
     rows = features.orderBy("way_id").select("feature").collect()
     inner = ",".join(r["feature"] for r in rows)
     return '{"type":"FeatureCollection","features":[' + inner + "]}"

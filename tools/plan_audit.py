@@ -183,6 +183,31 @@ def main() -> None:
     )
     print("audited flagship", flush=True)
 
+    # write_jsonl (K2 scale sink): the audited plan is the sink's
+    # INPUT — .text() appends only a WriteFiles node at execution, so
+    # everything scale-relevant (the J1 geometry join, to_json, the
+    # name-tag dim join) is visible here. feature_collection's
+    # driver-side collect is the documented single-document parity
+    # path; THIS is what a production export runs.
+    from osm_jl_spark.sources.geojson import way_features
+
+    feats = way_features(
+        G.load_ways(spark, 500, 2000),
+        G.load_nodes(spark, 2000),
+        coord_decimals=5,
+    ).select("feature")
+    parts.append(
+        audit_one(
+            "write_jsonl (GeoJSON sink)", feats,
+            "one Feature per line: way_geometries is the single "
+            "posexplode+join+sort_array shuffle pair (AQE picks "
+            "broadcast for the dim side at this scale); to_json is "
+            "native codegen - no Python, no extra exchange beyond J1's "
+            "reassembly; the .text() write adds only WriteFiles",
+        )
+    )
+    print("audited write_jsonl", flush=True)
+
     for name, why in AUDITED:
         df = qs[name](spark, SF_DIR)
         parts.append(audit_one(name, df, why))

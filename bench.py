@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "knn_ring",
     "knn_ring_10k",
     "dedup_exact_keep",
+    "line_dedup",
     "minhash_pairs",
     "simhash_pairs",
     "snapshot_latest",

@@ -277,6 +277,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "way_id", shoelace_area2_col(F.col("coords")).alias("area2")
         )
 
+    def way_lengths_q(spark, sf_dir):
+        # great-circle path length of every way (operators/joins.py:
+        # way_lengths): one J1 shuffle, then pure array math. Rounded
+        # to cm; the oracle mirrors the exact left-to-right fold and
+        # per-segment operation order, so the match is bit-level
+        # before the rounding (see the operator docstring).
+        out = J.way_lengths(_ways(spark, sf_dir), _nodes(spark, sf_dir))
+        return out.select(
+            "way_id", "n_pts", F.round("length_m", 2).alias("length_m")
+        )
+
+    def quadkey_tiles_q(spark, sf_dir):
+        # web-mercator z/x/y tiling (functions/cells.py:quadkey_col):
+        # zoom-12 quadkey per node, counts per tile PLUS the zoom-10
+        # parent rollup AS A PREFIX SUBSTRING — pinning the property
+        # that makes quadkeys the clustering key for multi-zoom tile
+        # serving (parents are prefixes; rollup needs no re-encode).
+        # Oracle: the same slippy-map arithmetic in DuckDB, bit ops
+        # and all.
+        from osm_jl_spark.functions.cells import with_quadkey
+
+        nodes = with_quadkey(_nodes(spark, sf_dir), zoom=12)
+        z12 = nodes.groupBy("qk").agg(F.count(F.lit(1)).alias("n"))
+        return z12.select(
+            "qk",
+            F.substring("qk", 1, 10).alias("qk_parent"),
+            "n",
+        )
+
+    def window_dup_stats_q(spark, sf_dir):
+        # exact-substring duplication profile (operators/dedup.py:
+        # duplicated_window_stats, Lee et al. 2022 window granularity).
+        # Corpus: each doc is its text prefixed by a per-site
+        # boilerplate sentence (site = doc_id % 17 -> every site
+        # sentence spans ~n/17 docs, guaranteeing real cross-document
+        # windows), so n_dup_windows is meaningfully nonzero. The
+        # DuckDB oracle RUNS the full computation independently over
+        # window STRINGS (no hashing) — an engine-independent replica,
+        # not a re-derivation.
+        docs = _pq(spark, sf_dir, "documents")
+        site = (F.col("doc_id") % 17).cast("string")
+        txt = F.concat(
+            F.lit("welcome to site "), site,
+            F.lit(" home of site "), site,
+            F.lit(" news and weather updates "),
+            F.col("text"),
+        )
+        corpus = docs.select("doc_id", txt.alias("text"))
+        return D.duplicated_window_stats(corpus, w=8, min_df=2)
+
     def shortest_paths_q(spark, sf_dir):
         # weighted routing over the same road graph: Bellman-Ford
         # relaxation rounds (operators/graph.py:shortest_paths).
@@ -1141,6 +1191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 prefix all carry a CORRECTNESS_r03 green row (1 round old).
     return {
         # -- new this round, never driver-checked
+        "window_dup_stats": window_dup_stats_q,
+        "way_lengths": way_lengths_q,
+        "quadkey_tiles": quadkey_tiles_q,
         "line_dedup": line_dedup_q,
         # -- r2-green, skipped by the r3 prefix: expensive tail first
         "knn_ring_10k": knn_10k_q,
@@ -1854,6 +1907,95 @@ SELECT doc_id,
          AS n_lines,
        CAST(3 AS BIGINT) AS n_kept
 FROM documents"""
+
+    # window STRINGS, not hashes: the oracle replays the whole
+    # computation engine-independently (tokenize -> 8-token windows ->
+    # per-doc distinct -> cross-doc df -> per-doc counts)
+    out["window_dup_stats"] = """WITH corpus AS (
+  SELECT doc_id,
+         'welcome to site ' || CAST(doc_id % 17 AS VARCHAR)
+         || ' home of site ' || CAST(doc_id % 17 AS VARCHAR)
+         || ' news and weather updates ' || text AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+  FROM corpus
+),
+wins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ts) - 6),
+           i -> array_to_string(ts[i:i+7], ' '))) AS ws
+  FROM toks WHERE len(ts) >= 8
+),
+ex AS (SELECT doc_id, unnest(ws) AS wstr FROM wins),
+hot AS (SELECT wstr FROM ex GROUP BY wstr HAVING count(*) >= 2)
+SELECT e.doc_id, count(*) AS n_windows, count(h.wstr) AS n_dup_windows
+FROM ex e LEFT JOIN hot h ON e.wstr = h.wstr
+GROUP BY e.doc_id"""
+
+    # mirrors way_lengths' float contract exactly: radians taken
+    # per-endpoint BEFORE differencing, explicit multiplies (never
+    # power()), constant 2R pre-folded, and the per-way sum as a
+    # LEFT fold over the pos-ordered segment list (list_reduce) —
+    # bit-equal to Spark's F.aggregate before the cm rounding
+    out["way_lengths"] = f"""WITH {nodes}, {ways},
+j AS (
+  SELECT wr.id, wr.pos, n.lon, n.lat
+  FROM ways_refs wr JOIN nodes n ON wr.ref = n.id
+),
+s AS (
+  SELECT id, pos, lon, lat,
+         lag(lon) OVER (PARTITION BY id ORDER BY pos) AS plon,
+         lag(lat) OVER (PARTITION BY id ORDER BY pos) AS plat
+  FROM j
+),
+d AS (
+  SELECT id, pos,
+         {2.0 * 6371008.8!r} * asin(sqrt(
+           sin((radians(lat) - radians(plat)) / 2)
+             * sin((radians(lat) - radians(plat)) / 2)
+           + cos(radians(plat)) * cos(radians(lat))
+             * sin((radians(lon) - radians(plon)) / 2)
+             * sin((radians(lon) - radians(plon)) / 2)
+         )) AS seg
+  FROM s WHERE plat IS NOT NULL
+),
+l AS (SELECT id, list(seg ORDER BY pos) AS ls FROM d GROUP BY id),
+c AS (SELECT id, count(*) AS n_pts FROM j GROUP BY id)
+SELECT c.id AS way_id, c.n_pts,
+       round(CASE WHEN l.id IS NULL THEN 0.0
+                  ELSE list_reduce(l.ls, (a, b) -> a + b) END, 2)
+         AS length_m
+FROM c LEFT JOIN l ON c.id = l.id"""
+
+    # the same slippy-map arithmetic, same operation order (clamp ->
+    # sin -> ln ratio -> scaled floor), same bit-interleave
+    _4pi = 4.0 * 3.141592653589793
+    out["quadkey_tiles"] = f"""WITH {nodes},
+m AS (
+  SELECT sin(radians(greatest(least(lat, 85.05112878), -85.05112878)))
+           AS s,
+         lon
+  FROM nodes
+),
+t AS (
+  SELECT greatest(least(CAST(floor((lon + 180.0) / 360.0 * 4096.0)
+           AS BIGINT), 4095), 0) AS x,
+         greatest(least(CAST(floor(
+           (0.5 - ln((1.0 + s) / (1.0 - s)) / {_4pi!r}) * 4096.0)
+           AS BIGINT), 4095), 0) AS y
+  FROM m
+),
+q AS (
+  SELECT array_to_string(list_transform(range(11, -1, -1),
+           b -> CAST(((x >> b) & 1) + 2 * ((y >> b) & 1) AS VARCHAR)),
+           '') AS qk
+  FROM t
+)
+SELECT qk, substr(qk, 1, 10) AS qk_parent, count(*) AS n
+FROM q GROUP BY qk"""
 
     out["token_count_by_lang"] = """WITH
 t AS (

@@ -122,3 +122,68 @@ def disk_cells(cx: int, cy: int, r: int) -> list[tuple[int, int]]:
         for dx in range(-r, r + 1)
         for dy in range(-r, r + 1)
     ]
+
+
+# ---------------------------------------------------------------- quadkey
+# Web-mercator z/x/y tiles + Bing-style quadkeys: the industry-standard
+# map-tile scheme, complementing the reference-pinned trunc-degree grid
+# above. A quadkey at zoom z is a z-character base-4 string whose
+# digits interleave the tile-x/tile-y bits MSB-first, so PARENT TILES
+# ARE STRING PREFIXES: rollup = substring, range pruning on a
+# quadkey-sorted table = prefix scan — the property that makes it the
+# right clustering key for multi-zoom tile serving at 10^12 rows.
+
+WEBMERC_MAX_LAT = 85.05112878  # mercator singularity clamp (EPSG:3857)
+
+
+def webmerc_tile(lon, lat, zoom: int) -> tuple[Column, Column]:
+    """(tile_x, tile_y) LONG columns at the given zoom, all native math
+    (the standard slippy-map formulas). Latitude is clamped to the
+    web-mercator domain; x/y are clamped into [0, 2^z-1] so lon=180
+    and lat=-90 land in the last tile instead of one past it.
+    """
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    n = float(2**zoom)
+    latm = F.greatest(
+        F.least(latc, F.lit(WEBMERC_MAX_LAT)), F.lit(-WEBMERC_MAX_LAT)
+    )
+    x = F.floor((lonc + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    s = F.sin(F.radians(latm))
+    y = F.floor(
+        (
+            F.lit(0.5)
+            - F.log((F.lit(1.0) + s) / (F.lit(1.0) - s))
+            / F.lit(4.0 * 3.141592653589793)
+        )
+        * F.lit(n)
+    )
+    lim = F.lit(int(2**zoom) - 1)
+    return (
+        F.greatest(F.least(x, lim), F.lit(0)).cast("long"),
+        F.greatest(F.least(y, lim), F.lit(0)).cast("long"),
+    )
+
+
+def quadkey_col(tile_x: Column, tile_y: Column, zoom: int) -> Column:
+    """Quadkey string from tile coords: digit for bit position b
+    (MSB first, b = z-1..0) is ``(x >> b & 1) + 2*(y >> b & 1)`` —
+    unrolled over the zoom's constant bit positions (zoom is a plan
+    constant, so this is z codegen'd expressions, no UDF, no array).
+    Zoom-(z-k) parent = ``substring(qk, 1, z-k)``.
+    """
+    digits = [
+        (
+            F.shiftright(tile_x, b).bitwiseAND(F.lit(1))
+            + F.shiftright(tile_y, b).bitwiseAND(F.lit(1)) * F.lit(2)
+        ).cast("string")
+        for b in range(zoom - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def with_quadkey(df, zoom: int, lon: str = "lon", lat: str = "lat",
+                 out: str = "qk"):
+    """Add a zoom-``zoom`` quadkey column computed from (lon, lat)."""
+    x, y = webmerc_tile(lon, lat, zoom)
+    return df.withColumn(out, quadkey_col(x, y, zoom))

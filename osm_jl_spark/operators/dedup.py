@@ -722,3 +722,71 @@ def neardup_keep_best(
         F.col("comp").alias("cluster_id"),
         (-F.col("b.nid")).alias("keep_id"),
     )
+
+def duplicated_window_stats(
+    docs: DataFrame,
+    w: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    approximated at token-window granularity): for every document,
+    how many of its distinct ``w``-token windows also appear in at
+    least ``min_df - 1`` OTHER documents. The per-doc
+    ``n_dup_windows / n_windows`` ratio is the standard signal for
+    cross-document boilerplate/quotation load, one level finer than
+    ``line_dedup`` (which needs exact line boundaries) and one level
+    coarser than a suffix array (which this sandbox-scale engine
+    deliberately does not build — windows are the distributed-friendly
+    approximation the paper itself uses for its NearDup comparison).
+
+    Output: (id_col, n_windows, n_dup_windows) — one row per document
+    having at least one window (docs shorter than ``w`` tokens carry
+    no signal and emit nothing). Integer columns only: the ratio is
+    left to the caller so the result stays engine-exact.
+
+    Plan (zero per-row Python): windows are hashed map-side
+    (concat_ws over a token slice -> xxhash64) and array_distinct'd
+    BEFORE the explode — the same narrow-map shape as
+    ``_shingle_hashes`` — so the document-frequency groupBy input is
+    already (doc, window)-unique and the count is map-side
+    combinable on a uniform 64-bit key. The hot-window dim
+    (df >= min_df) is a small fraction of distinct windows at corpus
+    scale, so AQE broadcasts the left join back; the final per-doc
+    regroup shuffles (id, hash) pairs only — never the text. At
+    10^12 docs the w-token window set is ~doc_tokens rows of 8+8
+    bytes through ONE uniform-key exchange; no collect, no skew key
+    (hashes are uniform by construction).
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    nwin = F.size(toks) - F.lit(w - 1)
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, w))),
+        )
+    )
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(nwin >= 1, wins)  # sequence(1,0) would DESCEND
+        ).alias("wh"),
+    )
+    hot = (
+        ex.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("wh", F.lit(True).alias("is_hot"))
+    )
+    return (
+        ex.join(hot, "wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.col("is_hot")).alias("n_dup_windows"),
+        )
+    )

@@ -79,6 +79,47 @@ def way_geometries(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def way_lengths(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Great-circle path length of every way in meters — the road-length
+    query OSM.jl users compute downstream of waynodes (src/OSM.jl:131
+    gives the ordered coordinates; the reference leaves the metric to
+    the caller). Returns (way_id, n_pts, length_m).
+
+    Plan: rides `way_geometries` (one shuffle, the J1 join + regroup);
+    the pairwise haversine and the in-order fold are pure native array
+    math over the assembled coords — no extra exchange, no Python.
+
+    Float contract: segments are summed LEFT-TO-RIGHT in node order
+    (``F.aggregate`` over the pos-sorted array), so the result is
+    deterministic across partitionings — a groupBy SUM over exploded
+    segments would be cheaper by one array build but order-dependent
+    in the last ulp. The DuckDB oracle mirrors the exact fold
+    (list_reduce over a pos-ordered list) and the exact operation
+    order inside the haversine (explicit multiplies, radians taken
+    per-endpoint before differencing), so the comparison holds
+    bit-for-bit before the cm rounding.
+    """
+    geo = way_geometries(ways, nodes)
+    pts = F.col("coords")
+    n = F.size(pts)
+
+    def seg(p, q):
+        dp = (F.radians(q["lat"]) - F.radians(p["lat"])) / 2
+        dl = (F.radians(q["lon"]) - F.radians(p["lon"])) / 2
+        h = (
+            F.sin(dp) * F.sin(dp)
+            + F.cos(F.radians(p["lat"])) * F.cos(F.radians(q["lat"]))
+            * F.sin(dl) * F.sin(dl)
+        )
+        return F.lit(2.0 * 6371008.8) * F.asin(F.sqrt(h))
+
+    segs = F.zip_with(F.slice(pts, 1, n - 1), F.slice(pts, 2, n - 1), seg)
+    length = F.aggregate(segs, F.lit(0.0), lambda acc, x: acc + x)
+    return geo.select(
+        "way_id", n.alias("n_pts"), length.alias("length_m")
+    )
+
+
 def nodes_for_ways(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     """J2 (src/OSM.jl:264-267): all nodes referenced by a way set —
     left-semi join on the exploded distinct refs (the reference's

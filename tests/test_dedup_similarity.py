@@ -285,3 +285,46 @@ def test_line_dedup_blank_lines_exempt_and_null_text(spark):
     out = {r["doc_id"]: r for r in D.line_dedup(docs, min_df=2).collect()}
     assert out[1]["clean_text"] == "a\n\nx y z"
     assert out[3]["clean_text"] == "" and out[3]["n_lines"] == 1
+
+
+def test_window_dup_stats_cross_doc_only(spark):
+    """Lee-et-al window dedup: a w-token window shared by two docs is
+    counted for both; a window repeated INSIDE one doc (df=1) is not;
+    docs shorter than w tokens emit no row."""
+    shared = "alpha bravo charlie delta"  # 4 tokens, w=4
+    rows = [
+        (1, shared + " one two three"),
+        (2, shared + " four five six"),
+        (3, "hop skip hop skip hop skip hop skip"),  # internal repeat
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicated_window_stats(docs, w=4, min_df=2).collect()
+    }
+    assert set(out) == {1, 2, 3}  # doc 4 < w tokens: no row
+    # docs 1/2: 7 tokens -> 4 windows, only the leading one is shared
+    assert out[1]["n_windows"] == 4 and out[1]["n_dup_windows"] == 1
+    assert out[2]["n_windows"] == 4 and out[2]["n_dup_windows"] == 1
+    # doc 3: 8 tokens -> 5 positional windows but only 2 DISTINCT
+    # ("hop skip hop skip" / "skip hop skip hop"), both df=1 -> 0 dups
+    assert out[3]["n_windows"] == 2 and out[3]["n_dup_windows"] == 0
+
+
+def test_window_dup_stats_df_threshold(spark):
+    """min_df=3: a window in exactly two docs stays below threshold."""
+    rows = [
+        (1, "red green blue yellow tail1"),
+        (2, "red green blue yellow tail2"),
+        (3, "red green blue yellow tail3"),
+        (4, "red green blue purple tail4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out3 = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in D.duplicated_window_stats(docs, w=4, min_df=3).collect()
+    }
+    # "red green blue yellow" has df=3 -> dup for docs 1-3; doc 4's
+    # windows all have df<3
+    assert out3[1] == 1 and out3[2] == 1 and out3[3] == 1 and out3[4] == 0

@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "knn_ring_10k",
     "dedup_exact_keep",
     "line_dedup",
+    "window_dup_stats",
+    "quadkey_tiles",
+    "way_lengths",
     "minhash_pairs",
     "simhash_pairs",
     "snapshot_latest",

@@ -110,6 +110,21 @@ AUDITED = [
      "the hot-line dim broadcasts; in-order reassembly is the ONE "
      "unavoidable corpus shuffle (groupBy doc id) - 2 exchanges "
      "total, both uniform keys, zero Python"),
+    ("window_dup_stats", "Lee-et-al window duplication profile: "
+     "w-token window hashes are array_distinct'd map-side BEFORE the "
+     "explode, so the df groupBy sees (doc, window)-unique uniform "
+     "64-bit keys; hot-window dim joins back (AQE broadcast at dim "
+     "scale); final per-doc regroup ships (id, hash) pairs only - "
+     "never the text"),
+    ("way_lengths", "great-circle way length: rides the single J1 "
+     "waynodes shuffle; haversine + in-order F.aggregate fold are "
+     "pure array math in the post-join project - no extra exchange, "
+     "no window, zero Python"),
+    ("quadkey_tiles", "web-mercator quadkey tiling: the z/x/y "
+     "arithmetic and the unrolled bit-interleave run in the scan-side "
+     "codegen stage; ONE map-side-combinable shuffle on the quadkey; "
+     "the zoom-10 parent is a substring of the grouped key - rollup "
+     "without re-encoding"),
 ]
 
 

@@ -210,3 +210,50 @@ def test_line_dedup_two_uniform_shuffles_hot_dim_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_window_dup_stats_two_uniform_shuffles(spark):
+    """duplicated_window_stats' scale contract mirrors line_dedup:
+    window hashes are array_distinct'd map-side BEFORE the explode
+    (narrow map — no per-window shuffle of text), so exactly TWO
+    exchanges survive: the uniform-key document-frequency count and
+    the per-doc regroup of (id, hash) pairs. The hot-window dim must
+    join back as a broadcast, and nothing drops to Python."""
+    from osm_jl_spark.operators.dedup import duplicated_window_stats
+
+    docs = spark.read.parquet(SF + "/documents.parquet").selectExpr(
+        "doc_id", "text"
+    )
+    plan = explain(duplicated_window_stats(docs, w=8, min_df=2))
+    assert count_nodes(plan, "Exchange") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_way_lengths_no_extra_exchange(spark):
+    """way_lengths rides the single J1 waynodes shuffle: the haversine
+    and the in-order fold are post-join array math, so the plan must
+    show exactly ONE Exchange (the regroup) and no window/sort over
+    node sequences."""
+    from osm_jl_spark import datagen as G
+    from osm_jl_spark.operators.joins import way_lengths
+
+    nodes = G.load_nodes(spark, 2000)
+    ways = G.load_ways(spark, 400, 2000)
+    plan = explain(way_lengths(ways, nodes))
+    assert count_nodes(plan, "Exchange") == 1, plan
+    assert count_nodes(plan, "Window") == 0, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_quadkey_tiles_one_shuffle_codegen_interleave(spark):
+    """quadkey_tiles: the z/x/y arithmetic + unrolled bit-interleave
+    stay in the scan-side codegen stage, leaving ONE map-side-
+    combinable exchange on the quadkey; no Python anywhere."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["quadkey_tiles"](spark, SF)
+    plan = explain(df)
+    assert count_nodes(plan, "Exchange") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -306,6 +306,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n",
         )
 
+    def tile_store_read_q(spark, sf_dir):
+        # tile-serving STORE read (sources/store.py:write_points_quadkey
+        # / read_points_tile): nodes persisted partitioned by the zoom-2
+        # quadkey prefix and qk-sorted within files, then one z4 tile
+        # subtree ("2110" — the Vitória tile) served as a pruned scan:
+        # stripe equality in PartitionFilters, StringStartsWith(qk)
+        # pushed to parquet row groups, zero exchanges, zero Python
+        # (plan pinned in tests/test_store.py). The quadkey analogue of
+        # bbox_store_nodes; at 10^12 points a map-tile request touches
+        # one directory and the row groups whose qk range overlaps.
+        import os
+        import tempfile
+
+        from osm_jl_spark.sources.store import (
+            read_points_tile,
+            write_points_quadkey,
+        )
+
+        n = _counts(sf_dir)["nodes"]
+        path = os.path.join(tempfile.gettempdir(), f"osm_store_qk_{n}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            write_points_quadkey(
+                _nodes(spark, sf_dir).select("id", "lon", "lat"),
+                path,
+                zoom=12,
+                stripe_zoom=2,
+            )
+        return read_points_tile(spark, path, "2110", stripe_zoom=2).select(
+            "id", "qk"
+        )
+
     def window_dup_stats_q(spark, sf_dir):
         # exact-substring duplication profile (operators/dedup.py:
         # duplicated_window_stats, Lee et al. 2022 window granularity).
@@ -1194,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_dup_stats": window_dup_stats_q,
         "way_lengths": way_lengths_q,
         "quadkey_tiles": quadkey_tiles_q,
+        "tile_store_read": tile_store_read_q,
         "line_dedup": line_dedup_q,
         # -- r2-green, skipped by the r3 prefix: expensive tail first
         "knn_ring_10k": knn_10k_q,
@@ -1996,6 +2028,37 @@ q AS (
 )
 SELECT qk, substr(qk, 1, 10) AS qk_parent, count(*) AS n
 FROM q GROUP BY qk"""
+
+    # the store read must return exactly the nodes whose zoom-12
+    # quadkey has the tile's prefix — the oracle recomputes every
+    # node's quadkey from scratch and applies the prefix test, which
+    # independently verifies BOTH the stored qk column and the
+    # layout's pruning predicates (a stripe/pushdown bug that drops or
+    # leaks rows fails the value hash)
+    out["tile_store_read"] = f"""WITH {nodes},
+m AS (
+  SELECT id,
+         sin(radians(greatest(least(lat, 85.05112878), -85.05112878)))
+           AS s,
+         lon
+  FROM nodes
+),
+t AS (
+  SELECT id,
+         greatest(least(CAST(floor((lon + 180.0) / 360.0 * 4096.0)
+           AS BIGINT), 4095), 0) AS x,
+         greatest(least(CAST(floor(
+           (0.5 - ln((1.0 + s) / (1.0 - s)) / {_4pi!r}) * 4096.0)
+           AS BIGINT), 4095), 0) AS y
+  FROM m
+),
+q AS (
+  SELECT id, array_to_string(list_transform(range(11, -1, -1),
+           b -> CAST(((x >> b) & 1) + 2 * ((y >> b) & 1) AS VARCHAR)),
+           '') AS qk
+  FROM t
+)
+SELECT id, qk FROM q WHERE substr(qk, 1, 4) = '2110'"""
 
     out["token_count_by_lang"] = """WITH
 t AS (

@@ -147,3 +147,68 @@ def read_points_bbox(
         & F.col("cx").between(xlo, xhi)
         & F.col("cy").between(ylo, yhi)
     )
+
+
+def write_points_quadkey(
+    points: DataFrame,
+    path: str,
+    zoom: int = 12,
+    stripe_zoom: int = 2,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> None:
+    """Persist a points table in the TILE-SERVING layout: directory
+    partitioning on the zoom-``stripe_zoom`` quadkey prefix and full
+    zoom-``zoom`` quadkey sorting within files.
+
+    Because a parent tile's quadkey is a string PREFIX of every
+    descendant's (functions/cells.py:quadkey_col), any "give me tile
+    X's subtree" request is a contiguous key range in this layout:
+    the stripe prefix prunes directories, and parquet string min/max
+    statistics skip row groups inside a stripe. On Iceberg the same
+    layout is ``PARTITIONED BY truncate(stripe_zoom, qk)`` + a sort
+    order on qk.
+
+    The stripe value is prefixed with a literal ``q`` so the
+    partition directory reads back as a STRING (Spark's partition
+    type inference would otherwise turn an all-digit prefix like
+    ``21`` into an int and break prefix predicates).
+    """
+    from osm_jl_spark.functions.cells import with_quadkey
+
+    pts = points if "qk" in points.columns else with_quadkey(
+        points, zoom, lon=lon, lat=lat
+    )
+    (
+        pts.withColumn(
+            "qk_stripe",
+            F.concat(F.lit("q"), F.substring("qk", 1, stripe_zoom)),
+        )
+        .repartition("qk_stripe")
+        .sortWithinPartitions("qk")
+        .write.mode("overwrite")
+        .partitionBy("qk_stripe")
+        .parquet(path)
+    )
+
+
+def read_points_tile(
+    spark: SparkSession,
+    path: str,
+    tile_qk: str,
+    stripe_zoom: int = 2,
+) -> DataFrame:
+    """All stored points inside one tile's subtree (every zoom level
+    at or below the tile's): rows whose quadkey starts with
+    ``tile_qk``. The stripe predicate is PartitionFilters (directory
+    pruning: equality when the tile is at least stripe-deep, prefix
+    otherwise); the ``startswith`` on qk is pushed to parquet as
+    StringStartsWith (row-group skipping). No shuffle, no Python —
+    serving a map tile at 10^12 points is a pruned scan.
+    """
+    df = spark.read.parquet(path)
+    if len(tile_qk) >= stripe_zoom:
+        part = F.col("qk_stripe") == "q" + tile_qk[:stripe_zoom]
+    else:
+        part = F.col("qk_stripe").startswith("q" + tile_qk)
+    return df.filter(part & F.col("qk").startswith(tile_qk))

@@ -79,3 +79,56 @@ def test_clustered_bbox_prunes_partitions(spark, clustered):
     assert any("cx" in p and "cy" in p for p in pushed), plan
     assert count_nodes(plan, "Exchange") == 0
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.fixture(scope="module")
+def qk_store(spark, tmp_path_factory):
+    from osm_jl_spark.sources.store import write_points_quadkey
+
+    path = str(tmp_path_factory.mktemp("store") / "points_qk")
+    nodes = G.load_nodes(spark, 4000).select("id", "lon", "lat")
+    write_points_quadkey(nodes, path, zoom=12, stripe_zoom=2)
+    return path
+
+
+def test_tile_read_matches_direct_filter(spark, qk_store):
+    """Subtree semantics: reading tile '2110' (the Vitória z4 tile)
+    from the store returns exactly the nodes whose zoom-12 quadkey
+    starts with '2110' — including a tile SHALLOWER than the stripe
+    ('2', z1), which must prune by stripe prefix instead of equality."""
+    from osm_jl_spark.functions.cells import with_quadkey
+    from osm_jl_spark.sources.store import read_points_tile
+
+    nodes = with_quadkey(
+        G.load_nodes(spark, 4000).select("id", "lon", "lat"), zoom=12
+    )
+    for prefix in ("2110", "2"):
+        got = {
+            r["id"]
+            for r in read_points_tile(spark, qk_store, prefix, 2).collect()
+        }
+        want = {
+            r["id"]
+            for r in nodes.filter(
+                F.col("qk").startswith(prefix)
+            ).collect()
+        }
+        assert got == want, prefix
+        assert len(want) > 0, prefix
+    # the Vitória cluster is 25% of nodes: the z4 tile must hold it
+    assert len(got) >= 1000  # prefix '2' ⊇ Vitória cluster
+
+
+def test_tile_read_prunes_and_pushes(spark, qk_store):
+    """Tile reads are pruned scans: stripe equality in
+    PartitionFilters, StringStartsWith on qk in PushedFilters, zero
+    exchanges, zero Python."""
+    from osm_jl_spark.sources.store import read_points_tile
+
+    plan = explain(read_points_tile(spark, qk_store, "2110", 2))
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("qk_stripe" in p for p in pf), plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("StartsWith(qk,2110)" in p for p in pushed), plan
+    assert count_nodes(plan, "Exchange") == 0
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

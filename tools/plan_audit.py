@@ -125,6 +125,11 @@ AUDITED = [
      "codegen stage; ONE map-side-combinable shuffle on the quadkey; "
      "the zoom-10 parent is a substring of the grouped key - rollup "
      "without re-encoding"),
+    ("tile_store_read", "tile-serving store read: stripe equality in "
+     "PartitionFilters (directory pruning), StringStartsWith(qk) in "
+     "PushedFilters (row-group skipping), ZERO exchanges - a map-tile "
+     "request at 10^12 points touches one directory and the "
+     "overlapping row groups"),
 ]
 
 

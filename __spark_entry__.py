@@ -358,6 +358,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.select("doc_id", txt.alias("text"))
         return D.duplicated_window_stats(corpus, w=8, min_df=2)
 
+    def window_dedup_clean_q(spark, sf_dir):
+        # the REMOVAL counterpart (operators/dedup.py:
+        # remove_duplicated_windows): cut every cross-document 8-token
+        # window out of the same boilerplate-prefixed corpus as
+        # window_dup_stats — the per-site prefix is shared by ~n/17
+        # docs, so whole-prefix removal is exercised on every doc.
+        # Oracle: full engine-independent replay over window STRINGS
+        # (tokenize -> hot windows -> per-doc covered positions ->
+        # token filter -> re-join), no shared hashing.
+        docs = _pq(spark, sf_dir, "documents")
+        site = (F.col("doc_id") % 17).cast("string")
+        txt = F.concat(
+            F.lit("welcome to site "), site,
+            F.lit(" home of site "), site,
+            F.lit(" news and weather updates "),
+            F.col("text"),
+        )
+        corpus = docs.select("doc_id", txt.alias("text"))
+        return D.remove_duplicated_windows(corpus, w=8, min_df=2)
+
     def shortest_paths_q(spark, sf_dir):
         # weighted routing over the same road graph: Bellman-Ford
         # relaxation rounds (operators/graph.py:shortest_paths).
@@ -1223,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round, never driver-checked
         "window_dup_stats": window_dup_stats_q,
+        "window_dedup_clean": window_dedup_clean_q,
         "way_lengths": way_lengths_q,
         "quadkey_tiles": quadkey_tiles_q,
         "tile_store_read": tile_store_read_q,
@@ -1966,6 +1987,65 @@ hot AS (SELECT wstr FROM ex GROUP BY wstr HAVING count(*) >= 2)
 SELECT e.doc_id, count(*) AS n_windows, count(h.wstr) AS n_dup_windows
 FROM ex e LEFT JOIN hot h ON e.wstr = h.wstr
 GROUP BY e.doc_id"""
+
+    # the removal transform, replayed end to end over window STRINGS:
+    # hot windows -> per-doc duplicated start positions -> covered-
+    # token filter -> single-space re-join. Every stage recomputed
+    # independently; no hashing shared with the engine.
+    out["window_dedup_clean"] = """WITH corpus AS (
+  SELECT doc_id,
+         'welcome to site ' || CAST(doc_id % 17 AS VARCHAR)
+         || ' home of site ' || CAST(doc_id % 17 AS VARCHAR)
+         || ' news and weather updates ' || text AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+  FROM corpus
+),
+base AS (
+  SELECT doc_id, ts, greatest(len(ts) - 7, 0) AS nw FROM toks
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, nw + 1),
+           i -> array_to_string(ts[i:i+7], ' ')))) AS wstr
+  FROM base WHERE nw >= 1
+),
+hot AS (SELECT wstr FROM ex GROUP BY wstr HAVING count(*) >= 2),
+doc_hot AS (
+  SELECT e.doc_id, list(e.wstr) AS hws
+  FROM ex e JOIN hot h ON e.wstr = h.wstr
+  GROUP BY e.doc_id
+),
+j AS (
+  SELECT b.doc_id, b.ts, b.nw, coalesce(d.hws, []) AS hws
+  FROM base b LEFT JOIN doc_hot d ON b.doc_id = d.doc_id
+),
+s AS (
+  SELECT doc_id, ts,
+         list_filter(range(1, nw + 1),
+           i -> list_contains(hws, array_to_string(ts[i:i+7], ' ')))
+           AS starts
+  FROM j
+),
+k AS (
+  SELECT doc_id, ts,
+         list_transform(
+           list_filter(range(1, len(ts) + 1),
+             p -> len(list_filter(starts,
+                    st -> p >= st AND p <= st + 7)) = 0),
+           p -> ts[p]) AS kept
+  FROM s
+)
+SELECT doc_id,
+       -- DuckDB's array_to_string([]) is NULL where Spark's
+       -- concat_ws is '' — normalize the fully-scrubbed-doc case
+       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       len(ts) AS n_tokens,
+       len(ts) - len(kept) AS n_removed
+FROM k"""
 
     # mirrors way_lengths' float contract exactly: radians taken
     # per-endpoint BEFORE differencing, explicit multiplies (never

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "dedup_exact_keep",
     "line_dedup",
     "window_dup_stats",
+    "window_dedup_clean",
     "quadkey_tiles",
     "way_lengths",
     "tile_store_read",

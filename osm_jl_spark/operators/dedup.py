@@ -790,3 +790,96 @@ def duplicated_window_stats(
             F.count(F.col("is_hot")).alias("n_dup_windows"),
         )
     )
+
+
+def remove_duplicated_windows(
+    docs: DataFrame,
+    w: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL counterpart of ``duplicated_window_stats`` — Lee et
+    al. 2022's exact-substring deduplication at token-window
+    granularity: every ``w``-token window occurring in at least
+    ``min_df`` documents is cut from each document's text (a token is
+    dropped iff at least one duplicated window covers it; survivors
+    are re-joined with single spaces, the standard normalization for
+    this transform). Docs shorter than ``w`` tokens pass through
+    untouched. Returns (id_col, clean_text, n_tokens, n_removed).
+
+    Plan (zero per-row Python, three uniform-key exchanges):
+
+    1. window hashes are computed AND array_distinct'd map-side (the
+       ``duplicated_window_stats`` narrow map), so the document-
+       frequency groupBy ships one (doc, hash) pair per distinct
+       window — exchange 1, uniform 64-bit key;
+    2. the hot-window dim (df >= min_df — a small fraction of distinct
+       windows at corpus scale) semi-joins back (AQE broadcast) and
+       regroups to one hot-hash array per affected doc — exchange 2;
+    3. that per-doc array joins the original text — exchange 3, on the
+       doc id (only docs that HAVE duplicated windows carry a row on
+       the build side) — and the cut itself is a pure narrow map:
+       window hashes are RECOMPUTED against the hot array to recover
+       positions (the same recompute-over-materialize trade argued at
+       ``minhash_signatures``), and a higher-order filter keeps tokens
+       no duplicated window covers.
+
+    At 10^12 docs nothing in this plan holds more than one document's
+    tokens at a time, and no stage keys on anything skewed: window
+    hashes are uniform by construction and the doc id is the corpus
+    key. The clean_text re-join is the only output materialization.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    nwin = F.size(toks) - F.lit(w - 1)
+
+    def winh(i):
+        return F.xxhash64(F.concat_ws(" ", F.slice(toks, i, w)))
+
+    wins = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), nwin), winh)
+    )
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(F.when(nwin >= 1, wins)).alias("wh"),  # guard: desc seq
+    )
+    hot = (
+        ex.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("wh")
+    )
+    doc_hot = (
+        ex.join(hot, "wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("wh").alias("hot_whs"))
+    )
+    joined = docs.join(doc_hot, id_col, "left")
+    hot_arr = F.coalesce(
+        F.col("hot_whs"), F.array().cast("array<bigint>")
+    )
+    starts = F.when(
+        nwin >= 1,
+        F.filter(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_contains(hot_arr, winh(i)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # token at 1-based position p survives iff no dup window starting
+    # at s covers it (s <= p <= s + w - 1)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            starts,
+            lambda s: (i + 1 >= s) & (i + 1 <= s + F.lit(w - 1)),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -328,3 +328,45 @@ def test_window_dup_stats_df_threshold(spark):
     # "red green blue yellow" has df=3 -> dup for docs 1-3; doc 4's
     # windows all have df<3
     assert out3[1] == 1 and out3[2] == 1 and out3[3] == 1 and out3[4] == 0
+
+
+def test_remove_duplicated_windows_semantics(spark):
+    """Exact-substring removal: a cross-doc window is cut from every
+    doc carrying it; an internal repeat (df=1) survives; docs shorter
+    than w and null-text docs pass through untouched."""
+    rows = [
+        (1, "alpha bravo charlie delta one two three"),
+        (2, "alpha bravo charlie delta four five six"),
+        (3, "hop skip hop skip hop skip hop skip"),
+        (4, "too short"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in D.remove_duplicated_windows(docs, w=4, min_df=2).collect()
+    }
+    assert out[1]["clean_text"] == "one two three"
+    assert out[1]["n_tokens"] == 7 and out[1]["n_removed"] == 4
+    assert out[2]["clean_text"] == "four five six"
+    assert out[3]["clean_text"] == rows[2][1]  # df=1: untouched
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "too short"
+    assert out[5]["clean_text"] == "" and out[5]["n_tokens"] == 0
+
+
+def test_remove_duplicated_windows_overlap_covers_union(spark):
+    """Overlapping dup windows remove the UNION of covered tokens: two
+    docs sharing a 5-token run with w=4 have dup windows at starts 1
+    and 2, so all 5 tokens go."""
+    rows = [
+        (1, "v w x y z tail1"),
+        (2, "v w x y z tail2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in D.remove_duplicated_windows(docs, w=4, min_df=2).collect()
+    }
+    assert out[1]["clean_text"] == "tail1" and out[1]["n_removed"] == 5
+    assert out[2]["clean_text"] == "tail2" and out[2]["n_removed"] == 5

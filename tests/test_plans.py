@@ -257,3 +257,19 @@ def test_quadkey_tiles_one_shuffle_codegen_interleave(spark):
     plan = explain(df)
     assert count_nodes(plan, "Exchange") == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_window_dedup_clean_three_uniform_shuffles(spark):
+    """remove_duplicated_windows' scale contract: THREE exchanges (df
+    count, per-doc hot-array regroup, text join on the doc id), the
+    hot-window dim as a broadcast, and the cut itself a pure narrow
+    map — no Python, no window, no sort-merge."""
+    from osm_jl_spark.operators.dedup import remove_duplicated_windows
+
+    docs = spark.read.parquet(SF + "/documents.parquet").selectExpr(
+        "doc_id", "text"
+    )
+    plan = explain(remove_duplicated_windows(docs, w=8, min_df=2))
+    assert count_nodes(plan, "Exchange") <= 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

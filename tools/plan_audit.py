@@ -125,6 +125,11 @@ AUDITED = [
      "codegen stage; ONE map-side-combinable shuffle on the quadkey; "
      "the zoom-10 parent is a substring of the grouped key - rollup "
      "without re-encoding"),
+    ("window_dedup_clean", "exact-substring removal: df count and "
+     "per-doc hot-array regroup on uniform keys, text join on the doc "
+     "id (3 exchanges); duplicated positions are RECOMPUTED against "
+     "the broadcast-joined hot array in a narrow map and the cut is a "
+     "higher-order token filter - zero Python"),
     ("tile_store_read", "tile-serving store read: stripe equality in "
      "PartitionFilters (directory pruning), StringStartsWith(qk) in "
      "PushedFilters (row-group skipping), ZERO exchanges - a map-tile "

@@ -378,6 +378,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.select("doc_id", txt.alias("text"))
         return D.remove_duplicated_windows(corpus, w=8, min_df=2)
 
+    def crawl_asof_q(spark, sf_dir):
+        # temporal AS-OF join (operators/temporal.py): each page
+        # capture joined to the policy snapshot in force at fetch time
+        # (at-or-before, LEFT: captures preceding any snapshot keep
+        # NULLs). Both streams derive from the recrawl history —
+        # captures whose fetch_h % 3 == 0 act as the per-url policy
+        # refetches. The DuckDB oracle is a genuinely independent
+        # implementation: its native ASOF LEFT JOIN vs this engine's
+        # union + window-scan plan.
+        from osm_jl_spark.operators.temporal import asof_join
+
+        crawls = G.load_crawls(spark, _counts(sf_dir)["docs"])
+        pol = crawls.where(F.col("fetch_h") % 3 == 0).select(
+            "url",
+            F.col("warc_ts").alias("pol_ts"),
+            (F.col("fetch_h") % 1000).alias("policy_val"),
+        )
+        caps = crawls.where(F.col("fetch_h") % 3 != 0)
+        out = asof_join(
+            caps, pol, on="url", left_ts="warc_ts", right_ts="pol_ts",
+            value_cols=["policy_val"],
+        )
+        return out.select(
+            "url",
+            _epoch_sec("warc_ts").alias("cap_epoch"),
+            "fetch_h",
+            "policy_val",
+            _epoch_sec(F.col("asof_ts")).alias("policy_epoch"),
+        )
+
     def shortest_paths_q(spark, sf_dir):
         # weighted routing over the same road graph: Bellman-Ford
         # relaxation rounds (operators/graph.py:shortest_paths).
@@ -1242,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 prefix all carry a CORRECTNESS_r03 green row (1 round old).
     return {
         # -- new this round, never driver-checked
+        "crawl_asof": crawl_asof_q,
         "window_dup_stats": window_dup_stats_q,
         "window_dedup_clean": window_dedup_clean_q,
         "way_lengths": way_lengths_q,
@@ -1960,6 +1991,26 @@ SELECT doc_id,
          AS n_lines,
        CAST(3 AS BIGINT) AS n_kept
 FROM documents"""
+
+    # crawl_asof: DuckDB's NATIVE ASOF LEFT JOIN — a genuinely
+    # independent implementation of the at-or-before contract (the
+    # engine plans a union + keyed window scan instead). Inclusive >=
+    # on the ordering condition matches asof_join's equal-ts rule.
+    out["crawl_asof"] = f"""WITH {G.crawls_ctes("duckdb", c["docs"])},
+caps AS (
+  SELECT url, warc_epoch, fetch_h FROM crawls WHERE fetch_h % 3 <> 0
+),
+pol AS (
+  SELECT url, warc_epoch AS pol_epoch, fetch_h % 1000 AS policy_val
+  FROM crawls WHERE fetch_h % 3 = 0
+)
+SELECT c.url,
+       c.warc_epoch AS cap_epoch,
+       c.fetch_h,
+       p.policy_val,
+       p.pol_epoch AS policy_epoch
+FROM caps c ASOF LEFT JOIN pol p
+  ON c.url = p.url AND c.warc_epoch >= p.pol_epoch"""
 
     # window STRINGS, not hashes: the oracle replays the whole
     # computation engine-independently (tokenize -> 8-token windows ->

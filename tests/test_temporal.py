@@ -1,0 +1,111 @@
+"""As-of join semantics (operators/temporal.py): inclusivity at equal
+timestamps, unmatched-left NULLs, direction, tolerance, and parity
+with a brute-force pandas reconstruction on random inputs."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osm_jl_spark.operators.temporal import asof_join
+
+
+def _frames(spark):
+    caps = spark.createDataFrame(
+        [
+            ("a", 10, "cap_a10"),
+            ("a", 20, "cap_a20"),
+            ("a", 5, "cap_a5"),   # before any policy
+            ("b", 10, "cap_b10"),  # key with no policy rows at all
+        ],
+        ["url", "ts", "body"],
+    )
+    pol = spark.createDataFrame(
+        [
+            ("a", 10, 100),  # equal-ts row: must match cap_a10
+            ("a", 15, 150),
+            ("c", 1, 999),   # key absent from left
+        ],
+        ["url", "pts", "rule"],
+    )
+    return caps, pol
+
+
+def test_backward_inclusive_and_unmatched(spark):
+    caps, pol = _frames(spark)
+    out = asof_join(caps, pol, on="url", left_ts="ts", right_ts="pts")
+    got = {(r["url"], r["ts"]): (r["rule"], r["asof_ts"]) for r in out.collect()}
+    assert got[("a", 10)] == (100, 10)   # at-or-before is INCLUSIVE
+    assert got[("a", 20)] == (150, 15)   # latest preceding, not first
+    assert got[("a", 5)] == (None, None)  # precedes every policy
+    assert got[("b", 10)] == (None, None)  # key never had a policy
+    assert out.count() == 4              # left join: no row lost
+
+
+def test_forward_direction(spark):
+    caps, pol = _frames(spark)
+    out = asof_join(
+        caps, pol, on="url", left_ts="ts", right_ts="pts",
+        direction="forward",
+    )
+    got = {(r["url"], r["ts"]): (r["rule"], r["asof_ts"]) for r in out.collect()}
+    assert got[("a", 10)] == (100, 10)   # at-or-after inclusive
+    assert got[("a", 5)] == (100, 10)    # nearest following
+    assert got[("a", 20)] == (None, None)  # nothing after
+    assert got[("b", 10)] == (None, None)
+
+
+def test_tolerance_nulls_far_matches(spark):
+    caps, pol = _frames(spark)
+    out = asof_join(
+        caps, pol, on="url", left_ts="ts", right_ts="pts",
+        tolerance=F.lit(3),
+    )
+    got = {(r["url"], r["ts"]): r["rule"] for r in out.collect()}
+    assert got[("a", 10)] == 100   # gap 0 <= 3
+    assert got[("a", 20)] is None  # gap 5 > 3: nulled, row kept
+
+
+def test_parity_with_pandas_merge_asof(spark):
+    # randomized-by-arithmetic input, checked against pandas merge_asof
+    # (an independent implementation of the same contract).
+    n_l, n_r = 400, 120
+    lrows = [
+        ("k%d" % ((i * 7) % 11), (i * 2654435761) % 10_000, i)
+        for i in range(n_l)
+    ]
+    rrows = [
+        ("k%d" % ((j * 5) % 11), (j * 40503) % 10_000, j * 10)
+        for j in range(n_r)
+    ]
+    # merge_asof wants unique (key, ts) on the right
+    seen = set()
+    rrows = [
+        r for r in rrows
+        if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+    left = spark.createDataFrame(lrows, ["k", "ts", "lid"])
+    right = spark.createDataFrame(rrows, ["k", "ts2", "val"])
+    got = (
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts2")
+        .select("k", "ts", "lid", "val", "asof_ts")
+        .toPandas()
+        .sort_values(["k", "ts", "lid"])
+        .reset_index(drop=True)
+    )
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["k", "ts2", "val"]).sort_values("ts2")
+    exp = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="ts2", by="k",
+        direction="backward", allow_exact_matches=True,
+    ).rename(columns={"ts2": "asof_ts"})
+    exp = exp[["k", "ts", "lid", "val", "asof_ts"]].sort_values(
+        ["k", "ts", "lid"]
+    ).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ["k", "ts", "lid"]:
+        assert got[c].tolist() == exp[c].tolist()
+    for c in ["val", "asof_ts"]:
+        g = [None if pd.isna(v) else int(v) for v in got[c]]
+        e = [None if pd.isna(v) else int(v) for v in exp[c]]
+        assert g == e

@@ -408,6 +408,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _epoch_sec(F.col("asof_ts")).alias("policy_epoch"),
         )
 
+    def gopher_quality_q(spark, sf_dir):
+        # Gopher-rule composite quality filter (operators/quality.py:
+        # gopher_quality). The corpus is documents text deliberately
+        # degraded per doc_id % 11 — bullet walls, ellipsis footers,
+        # symbol floods, truncation — so every rule fires on some
+        # stratum and passes on others. The oracle replays every
+        # signal independently in DuckDB list/regex SQL.
+        from osm_jl_spark.operators.quality import gopher_quality
+
+        docs = _pq(spark, sf_dir, "documents")
+        m = F.col("doc_id") % 11
+        nl = F.lit("\n")
+        txt = (
+            F.when(m == 0, F.concat(
+                F.repeat(F.lit("- buy now\n"), 19), F.col("text")))
+            .when(m == 1, F.concat(
+                F.lit("- a\n- b\n- c\n"), F.col("text")))
+            .when(m == 2, F.concat(
+                F.col("text"), nl,
+                F.lit("read more..."), nl, F.lit("click here...")))
+            .when(m == 3, F.concat(
+                F.col("text"), F.lit(" "), F.repeat(F.lit("# "), 40)))
+            .when(m == 4, F.substring("text", 1, 20))
+            .otherwise(F.col("text"))
+        )
+        corpus = docs.select("doc_id", txt.alias("text"))
+        return gopher_quality(corpus)
+
     def shortest_paths_q(spark, sf_dir):
         # weighted routing over the same road graph: Bellman-Ford
         # relaxation rounds (operators/graph.py:shortest_paths).
@@ -1273,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round, never driver-checked
         "crawl_asof": crawl_asof_q,
+        "gopher_quality": gopher_quality_q,
         "window_dup_stats": window_dup_stats_q,
         "window_dedup_clean": window_dedup_clean_q,
         "way_lengths": way_lengths_q,
@@ -2011,6 +2040,73 @@ SELECT c.url,
        p.pol_epoch AS policy_epoch
 FROM caps c ASOF LEFT JOIN pol p
   ON c.url = p.url AND c.warc_epoch >= p.pol_epoch"""
+
+    # gopher_quality: every signal replayed independently in DuckDB
+    # list/regex SQL over the same deliberately-degraded corpus. All
+    # ratio columns are one int-over-int double division (or /3 of an
+    # exactly-divisible diff), so cross-engine floats are bit-equal.
+    stop_sum = " + ".join(
+        f"CAST(list_contains(words, '{s}') AS BIGINT)"
+        for s in ("the", "a", "and", "of", "to", "be", "that", "with")
+    )
+    out["gopher_quality"] = f"""WITH webdocs AS (
+  SELECT doc_id,
+         CASE doc_id % 11
+           WHEN 0 THEN repeat('- buy now' || chr(10), 19) || text
+           WHEN 1 THEN '- a' || chr(10) || '- b' || chr(10)
+                       || '- c' || chr(10) || text
+           WHEN 2 THEN text || chr(10) || 'read more...'
+                       || chr(10) || 'click here...'
+           WHEN 3 THEN text || ' ' || repeat('# ', 40)
+           WHEN 4 THEN substr(text, 1, 20)
+           ELSE text END AS text
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'),
+                     w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+                     l -> l <> '') AS nlines
+  FROM webdocs
+),
+sig AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(nlines) AS n_lines,
+         len(regexp_replace(text, '\\s+', '', 'g')) AS wchars,
+         len(text) - len(replace(text, '#', '')) AS n_hash,
+         (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell,
+         len(list_filter(lines,
+             l -> l LIKE '- %' OR l LIKE '* %')) AS n_bullet,
+         len(list_filter(nlines, l -> l LIKE '%...')) AS n_ellline,
+         len(list_filter(words,
+             w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         {stop_sum} AS stop_hits
+  FROM parts
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CASE WHEN n_words > 0 THEN wchars / n_words END
+         AS mean_word_len,
+       CASE WHEN n_words > 0 THEN (n_hash + n_ell) / n_words END
+         AS symbol_ratio,
+       CASE WHEN n_lines > 0 THEN n_bullet / n_lines END
+         AS bullet_frac,
+       CASE WHEN n_lines > 0 THEN n_ellline / n_lines END
+         AS ellipsis_frac,
+       CASE WHEN n_words > 0 THEN n_alpha / n_words END AS alpha_frac,
+       stop_hits,
+       coalesce(
+         n_words BETWEEN 50 AND 100000
+         AND (wchars / n_words) BETWEEN 3.0 AND 10.0
+         AND (n_hash + n_ell) / n_words < 0.1
+         AND n_bullet / n_lines < 0.9
+         AND n_ellline / n_lines < 0.3
+         AND n_alpha / n_words > 0.8
+         AND stop_hits >= 2, false) AS keep
+FROM sig"""
 
     # window STRINGS, not hashes: the oracle replays the whole
     # computation engine-independently (tokenize -> 8-token windows ->

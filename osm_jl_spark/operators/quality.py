@@ -7,6 +7,10 @@ natural Spark shape is explode + groupBy, because that is what
 distributes: a per-row higher-order fold over the n-gram array would
 be O(grams^2) inside one task, while the exploded groupBy gets
 map-side combine and AQE-sized shuffles for free.
+
+Composite per-row RULESETS (gopher_quality) also live here: they stay
+narrow maps, but they return a signal table + verdict rather than one
+Column, so their natural surface is a DataFrame operator.
 """
 
 from __future__ import annotations
@@ -15,6 +19,96 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm_jl_spark.functions.text import ngrams_col, tokens_col
+
+# Gopher rule-2 stopwords trimmed to function words that actually
+# occur in web prose regardless of register (Rae et al. 2021 §A1.1
+# uses the/be/to/of/and/that/have/with; 'a' added for short-text
+# robustness).
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "be", "that", "with")
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style composite document-quality filter (Rae et al. 2021
+    §A1.1): per-document rule signals plus the conjunctive ``keep``
+    verdict. Emits EVERY input row with its signals — filtering is the
+    caller's one-line ``.where("keep")`` — because a pretraining
+    pipeline wants the audit table (which rule killed how much) as
+    much as the surviving corpus.
+
+    Signals: ``n_words`` (whitespace tokens), ``mean_word_len``,
+    ``symbol_ratio`` ('#' chars + '...' occurrences per word),
+    ``bullet_frac`` / ``ellipsis_frac`` (lines starting '- '/'* ' /
+    ending '...'), ``alpha_frac`` (words containing a letter), and
+    ``stop_hits`` (distinct GOPHER_STOPWORDS present).
+
+    Plan: a pure NARROW map — zero exchanges, zero Python; every
+    signal is a built-in string/array expression inside one projection
+    so whole-stage codegen fuses the lot. At 100 TB this is the
+    cheapest operator class there is: scan-bound, trivially
+    partition-parallel, and column-pruned to (id, text) at the source.
+    Ratios guard n_words = 0 / n_lines = 0 to NULL (no text ⇒ no
+    signal ⇒ keep = false via NULL-safe conjunction).
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    n_lines = F.size(F.filter(lines, lambda l: l != F.lit("")))
+    wchars = F.length(F.regexp_replace(text, r"\s+", ""))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ell = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* "),
+        )
+    )
+    n_ellline = F.size(
+        F.filter(F.filter(lines, lambda l: l != F.lit("")),
+                 lambda l: l.endswith("...")),
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        F.array_contains(words, s).cast("int") for s in GOPHER_STOPWORDS
+    )
+    guard = n_words > 0
+    lguard = n_lines > 0
+    sig = docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.when(guard, wchars / n_words).alias("mean_word_len"),
+        F.when(guard, (n_hash + n_ell) / n_words).alias("symbol_ratio"),
+        F.when(lguard, n_bullet / n_lines).alias("bullet_frac"),
+        F.when(lguard, n_ellline / n_lines).alias("ellipsis_frac"),
+        F.when(guard, n_alpha / n_words).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len,
+                                         max_mean_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("bullet_frac") < max_bullet_frac)
+        & (F.col("ellipsis_frac") < max_ellipsis_frac)
+        & (F.col("alpha_frac") > min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return sig.withColumn("keep", F.coalesce(keep, F.lit(False)))
 
 
 def repetition_scores(

@@ -54,3 +54,34 @@ def test_tfidf_top_terms_ranks_distinctive_tokens(spark):
     assert got[(1, 2)] == ("common", 2.0)
     assert got[(2, 1)] == ("yak", 6.0)
     assert got[(3, 1)] == ("giraffe", 3.0)
+
+
+def test_gopher_quality_rules(spark):
+    from osm_jl_spark.operators.quality import gopher_quality
+
+    clean = "the quick brown fox jumps with vigour over a lazy dog " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, clean.strip()),                      # passes everything
+            (2, ""),                                 # empty: NULLs, keep F
+            (3, "- x\n" * 19 + clean.strip()),       # bullet wall
+            (4, clean.strip() + " " + "# " * 40),    # symbol flood
+            (5, "the fox with a dog"),               # too short
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert got[1]["keep"] is True
+    assert got[1]["stop_hits"] >= 2
+    # empty text: zero words, ratio signals NULL, verdict still False
+    assert got[2]["n_words"] == 0
+    assert got[2]["mean_word_len"] is None
+    assert got[2]["keep"] is False
+    # 19 bullet lines / 20 -> 0.95 > 0.9
+    assert abs(got[3]["bullet_frac"] - 0.95) < 1e-12
+    assert got[3]["keep"] is False
+    # 40 '#' over (60 + 40) words -> 0.4 > 0.1, and mean length sinks
+    assert got[4]["symbol_ratio"] > 0.1
+    assert got[4]["keep"] is False
+    assert got[5]["n_words"] == 5
+    assert got[5]["keep"] is False

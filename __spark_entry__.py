@@ -436,6 +436,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.select("doc_id", txt.alias("text"))
         return gopher_quality(corpus)
 
+    def blocklist_filter_q(spark, sf_dir):
+        # domain blocklist + keyword rules (operators/web.py:
+        # blocklist_filter): hosts synthesized with the domain_stats
+        # scheme; the blocklist is a REAL 13-row dimension DataFrame
+        # broadcast-joined by the engine, while the oracle derives the
+        # same verdicts purely by arithmetic — full implementation
+        # independence.
+        from osm_jl_spark.operators.web import blocklist_filter
+
+        docs = _pq(spark, sf_dir, "documents")
+        corpus = docs.select(
+            "doc_id", "lang", "text",
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host"),
+        )
+        bl = spark.createDataFrame(
+            [(f"h{i}.example.org", "badlist") for i in range(0, 50, 4)],
+            "host STRING, reason STRING",
+        )
+        out = blocklist_filter(
+            corpus, bl, host_col="host",
+            keyword_rules=[(
+                "kw_customer",
+                F.col("text").contains("customer")
+                & (F.col("lang") == "en"),
+            )],
+        )
+        return out.select("doc_id", "host", "block_reason", "keep")
+
     def shortest_paths_q(spark, sf_dir):
         # weighted routing over the same road graph: Bellman-Ford
         # relaxation rounds (operators/graph.py:shortest_paths).
@@ -1302,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round, never driver-checked
         "crawl_asof": crawl_asof_q,
         "gopher_quality": gopher_quality_q,
+        "blocklist_filter": blocklist_filter_q,
         "window_dup_stats": window_dup_stats_q,
         "window_dedup_clean": window_dedup_clean_q,
         "way_lengths": way_lengths_q,
@@ -2107,6 +2139,21 @@ SELECT doc_id,
          AND n_alpha / n_words > 0.8
          AND stop_hits >= 2, false) AS keep
 FROM sig"""
+
+    # blocklist_filter: verdicts derived purely by ARITHMETIC (host
+    # index % 4) — the engine runs an actual broadcast dimension join,
+    # the oracle never builds the dimension at all.
+    out["blocklist_filter"] = """WITH v AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+         CASE WHEN (doc_id % 50) % 4 = 0 THEN 'badlist'
+              WHEN text LIKE '%customer%' AND lang = 'en'
+                THEN 'kw_customer' END AS block_reason
+  FROM documents
+)
+SELECT doc_id, host, block_reason,
+       block_reason IS NULL AS keep
+FROM v"""
 
     # window STRINGS, not hashes: the oracle replays the whole
     # computation engine-independently (tokenize -> 8-token windows ->

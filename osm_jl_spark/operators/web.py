@@ -115,3 +115,41 @@ def domain_stats(pages: DataFrame, url_col: str = "url",
             (F.sum("chars") / F.count(F.lit(1))).alias("avg_chars"),
         )
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    keyword_rules: list[tuple[str, Column]] | None = None,
+) -> DataFrame:
+    """Domain allow/deny filtering — the step a crawl pipeline runs
+    right after ``domain_stats`` decides which hosts to drop. Emits
+    every input row with ``block_reason`` (NULL = clean) and ``keep``;
+    host-level blocks take precedence over content ``keyword_rules``
+    (ordered (reason, predicate) pairs, first match wins).
+
+    Plan: the blocklist is a dimension table — thousands-to-millions
+    of hosts vs 10^12 pages — so it is explicitly ``F.broadcast`` LEFT
+    joined: the fact side never shuffles, and the keyword predicates
+    ride the same narrow projection. A blocklist too big to broadcast
+    (site-level URL prefixes at CommonCrawl scale) would bucket both
+    sides on host instead; the operator's contract doesn't change.
+    """
+    bl = blocklist.select(
+        F.col(host_col).alias("_bl_host"),
+        F.col("reason").alias("_bl_reason"),
+    )
+    joined = docs.join(
+        F.broadcast(bl),
+        docs[host_col] == bl["_bl_host"],
+        "left",
+    )
+    reason = F.col("_bl_reason")
+    for name, pred in keyword_rules or []:
+        reason = F.coalesce(reason, F.when(pred, F.lit(name)))
+    return (
+        joined.withColumn("block_reason", reason)
+        .withColumn("keep", F.col("block_reason").isNull())
+        .drop("_bl_host", "_bl_reason")
+    )

@@ -80,3 +80,35 @@ def test_domain_stats_single_shuffle(spark):
     assert out == {"a.org": (2, 5), "b.org": (1, 1)}
     plan = explain(domain_stats(pages))
     assert count_nodes(plan, "Exchange") == 1, plan
+
+
+def test_blocklist_filter_precedence(spark):
+    from osm_jl_spark.operators.web import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "bad.org", "customer data here"),  # host AND keyword
+            (2, "ok.org", "customer data here"),   # keyword only
+            (3, "ok.org", "clean prose"),          # neither
+            (4, "bad.org", "clean prose"),         # host only
+        ],
+        "doc_id BIGINT, host STRING, text STRING",
+    )
+    bl = spark.createDataFrame(
+        [("bad.org", "badlist")], "host STRING, reason STRING"
+    )
+    out = blocklist_filter(
+        docs, bl,
+        keyword_rules=[
+            ("kw", F.col("text").contains("customer")),
+            ("kw2", F.col("text").contains("clean")),  # later rule loses
+        ],
+    )
+    got = {r["doc_id"]: (r["block_reason"], r["keep"]) for r in out.collect()}
+    assert got[1] == ("badlist", False)  # host block beats keyword
+    assert got[2] == ("kw", False)
+    assert got[3] == ("kw2", False)      # second rule fires when first miss
+    assert got[4] == ("badlist", False)
+    # input columns all survive
+    assert set(out.columns) == {"doc_id", "host", "text",
+                                "block_reason", "keep"}

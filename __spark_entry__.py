@@ -1097,6 +1097,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_rows"),
         )
 
+    def tpch_q5_q(spark, sf_dir):
+        # 6-table join (TPC-H Q5 shape): local-supplier volume per
+        # nation. region/nation/supplier are explicit broadcast
+        # dimensions; lineitem<->orders and the customer join (a fact
+        # table at TPC-H scale: ~15M rows/SF) shuffle under AQE. The
+        # c_nationkey = s_nationkey equi-condition rides the broadcast
+        # supplier join, so no extra exchange appears for it.
+        c = _pq(spark, sf_dir, "customer")
+        o = _pq(spark, sf_dir, "orders")
+        li = _pq(spark, sf_dir, "lineitem")
+        s = _pq(spark, sf_dir, "supplier")
+        n = _pq(spark, sf_dir, "nation")
+        r = _pq(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+        sec = _epoch_sec("o_orderdate")
+        o = o.filter((sec >= 820454400) & (sec < 852076800))
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                F.broadcast(s),
+                (F.col("l_suppkey") == F.col("s_suppkey"))
+                & (F.col("c_nationkey") == F.col("s_nationkey")),
+            )
+            .join(
+                F.broadcast(n),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .join(
+                F.broadcast(r),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                        * 100
+                    ).cast("long")
+                ).alias("revenue_c"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+
     def tpch_q3_q(spark, sf_dir):
         # 3-way join + agg + deterministic top-10 (TPC-H Q3 shape).
         # customer is a broadcast dimension; orders<->lineitem is the
@@ -1334,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_asof": crawl_asof_q,
         "gopher_quality": gopher_quality_q,
         "blocklist_filter": blocklist_filter_q,
+        "tpch_q5": tpch_q5_q,
         "window_dup_stats": window_dup_stats_q,
         "window_dedup_clean": window_dedup_clean_q,
         "way_lengths": way_lengths_q,
@@ -2397,6 +2442,21 @@ GROUP BY c_mktsegment"""
 FROM lineitem
 WHERE epoch(l_shipdate) >= 820454400 AND epoch(l_shipdate) < 883612800
   AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+    out["tpch_q5"] = """SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND epoch(o_orderdate) >= 820454400
+  AND epoch(o_orderdate) < 852076800
+GROUP BY n_name"""
 
     out["tpch_q3"] = """SELECT l_orderkey,
        CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)

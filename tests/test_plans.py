@@ -273,3 +273,67 @@ def test_window_dedup_clean_three_uniform_shuffles(spark):
     assert count_nodes(plan, "Exchange") <= 3, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_asof_join_single_exchange(spark):
+    """asof_join's scale contract: the union + keyed window scan costs
+    exactly ONE exchange (hash on the join key) — never a sort-merge
+    or range join that materializes candidate pairs — and no Python."""
+    from pyspark.sql import functions as F
+
+    from osm_jl_spark.operators.temporal import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 10).alias("k"),
+        (F.col("id") * 3).alias("ts2"),
+        F.col("id").alias("val"),
+    )
+    plan = explain(asof_join(left, right, on="k", left_ts="ts",
+                             right_ts="ts2"))
+    assert count_nodes(plan, "Exchange") == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_quality_zero_shuffle(spark):
+    """The Gopher ruleset is a pure narrow map: zero exchanges, zero
+    Python — every signal fuses into one scan-side projection."""
+    from osm_jl_spark.operators.quality import gopher_quality
+
+    docs = spark.read.parquet(SF + "/documents.parquet").selectExpr(
+        "doc_id", "text"
+    )
+    plan = explain(gopher_quality(docs))
+    assert count_nodes(plan, "Exchange") == 0, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning: only (doc_id, text) leave the scan
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert schemas and "lang" not in schemas[0], plan
+
+
+def test_blocklist_filter_broadcasts_dimension(spark):
+    """The blocklist is a dimension: BroadcastHashJoin, zero shuffles
+    of the fact side, keyword predicates fused into the projection."""
+    from pyspark.sql import functions as F
+
+    from osm_jl_spark.operators.web import blocklist_filter
+
+    docs = spark.read.parquet(SF + "/documents.parquet").selectExpr(
+        "doc_id", "source AS host", "text"
+    )
+    bl = spark.createDataFrame(
+        [("src1", "badlist")], "host STRING, reason STRING"
+    )
+    plan = explain(blocklist_filter(
+        docs, bl, keyword_rules=[("kw", F.col("text").contains("x"))],
+    ))
+    assert count_nodes(plan, "Exchange") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -135,6 +135,20 @@ AUDITED = [
      "PushedFilters (row-group skipping), ZERO exchanges - a map-tile "
      "request at 10^12 points touches one directory and the "
      "overlapping row groups"),
+    ("crawl_asof", "temporal AS-OF join: union-tagged streams + keyed "
+     "window scan = exactly ONE exchange on the url key; the naive "
+     "range-join formulation would materialize captures x snapshots "
+     "pairs per key - quadratic in recrawl depth at hot urls"),
+    ("gopher_quality", "Gopher composite ruleset: every signal is a "
+     "native string/array expression in ONE narrow projection - zero "
+     "exchanges, zero Python; column-pruned to (doc_id, text)"),
+    ("blocklist_filter", "domain deny-list: explicit BroadcastHashJoin "
+     "of the host dimension; keyword predicates fuse into the same "
+     "projection; the 10^12-page fact side never shuffles"),
+    ("tpch_q5", "6-table join: region/nation/supplier broadcast "
+     "explicitly; lineitem-orders and the customer fact join shuffle "
+     "under AQE; the c_nationkey = s_nationkey condition rides the "
+     "broadcast supplier join without an extra exchange"),
 ]
 
 

@@ -788,10 +788,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ivf_knn_q(spark, sf_dir):
+        # refine=2: two deterministic Lloyd iterations tighten the
+        # hash-seeded centroids toward real k-means cells (SSE
+        # non-increase + determinism pinned in tests) — the production
+        # recall story, not just the index pattern.
         emb = _pq(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
         )
-        assigned, cents = S.build_ivf(emb, n_centroids=8)
+        assigned, cents = S.build_ivf(emb, n_centroids=8, refine=2)
         q = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),

@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "quadkey_tiles",
     "way_lengths",
     "tile_store_read",
+    "crawl_asof",
+    "gopher_quality",
+    "blocklist_filter",
+    "tpch_q5",
     "minhash_pairs",
     "simhash_pairs",
     "snapshot_latest",

@@ -70,45 +70,76 @@ def cosine_topk(
     )
 
 
+def _nearest_centroid(vec_col, centroids: list[list[float]]):
+    """struct(d, c) of the squared-L2-nearest centroid, as pure in-plan
+    literal array math (ties -> lowest centroid id via struct order)."""
+    best = None
+    for ci, cvec in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        diff = F.zip_with(vec_col, arr, lambda a, b: a - b)
+        d = _dot(diff, diff)
+        cand = F.struct(d.alias("d"), F.lit(ci).alias("c"))
+        best = cand if best is None else F.least(best, cand)
+    return best
+
+
+def _group_means(df: DataFrame, g_col: str, vec_col: str) -> dict[int, list[float]]:
+    """Per-group elementwise mean of an array column: posexplode ->
+    two map-side-combinable aggs; returns {group: mean vector} (groups
+    with no rows are simply absent)."""
+    rows = (
+        df.select(g_col, F.posexplode(vec_col).alias("i", "x"))
+        .groupBy(g_col, "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy(g_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+        .select(g_col, F.transform("ms", lambda s: s["m"]).alias("centroid"))
+        .collect()
+    )
+    return {r[g_col]: list(r["centroid"]) for r in rows}
+
+
 def build_ivf(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine: int = 0,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """Deterministic IVF index: centroids = mean of hash-assigned
-    groups (one k-means half-step — deterministic, no RNG), returns
-    (assigned corpus with ``bucket`` column, centroid list).
+    """Deterministic IVF index: centroids seeded as the means of
+    hash-assigned groups (no RNG), then ``refine`` Lloyd iterations —
+    assign every vector to its nearest centroid, recompute each
+    centroid as its bucket's mean. Lloyd's step never increases the
+    within-cluster SSE (pinned by tests/test_dedup_similarity.py), so
+    ``refine>0`` strictly tightens the index toward production k-means
+    quality while staying bit-deterministic. Empty buckets keep their
+    previous centroid. Returns (assigned corpus with ``bucket``
+    column, centroid list).
 
-    On a real deployment the assigned corpus is written bucketed by
-    ``bucket`` so probes prune partitions.
+    Scale shape: each iteration is ONE posexplode + two map-side
+    combinable aggregations over the corpus; the only driver action is
+    collecting the C x dim centroid table (16 rows here) — the same
+    bounded collect the seeding step already does. On a real
+    deployment the assigned corpus is written bucketed by ``bucket``
+    so probes prune partitions.
     """
     seeded = corpus.withColumn(
         "_g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))
     )
-    cent_rows = (
-        seeded.select("_g", F.posexplode(vec_col).alias("i", "x"))
-        .groupBy("_g", "i")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("_g")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
-        .select("_g", F.transform("ms", lambda s: s["m"]).alias("centroid"))
-        .orderBy("_g")
-        .collect()
-    )
-    centroids = [list(r["centroid"]) for r in cent_rows]
-
-    # assign each vector to nearest centroid (literal arrays in-plan)
-    best = None
-    for ci, cvec in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in cvec])
-        d = _dot(
-            F.zip_with(F.col(vec_col), arr, lambda a, b: a - b),
-            F.zip_with(F.col(vec_col), arr, lambda a, b: a - b),
+    means = _group_means(seeded, "_g", vec_col)
+    centroids = [means[g] for g in sorted(means)]
+    for _ in range(refine):
+        assigned = corpus.withColumn(
+            "_g", _nearest_centroid(F.col(vec_col), centroids)["c"]
         )
-        cand = F.struct(d.alias("d"), F.lit(ci).alias("c"))
-        best = cand if best is None else F.least(best, cand)
-    assigned = corpus.withColumn("bucket", best["c"].cast("int"))
+        means = _group_means(assigned, "_g", vec_col)
+        centroids = [
+            means.get(ci, centroids[ci]) for ci in range(len(centroids))
+        ]
+    assigned = corpus.withColumn(
+        "bucket",
+        _nearest_centroid(F.col(vec_col), centroids)["c"].cast("int"),
+    )
     return assigned, centroids
 
 

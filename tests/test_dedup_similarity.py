@@ -370,3 +370,50 @@ def test_remove_duplicated_windows_overlap_covers_union(spark):
     }
     assert out[1]["clean_text"] == "tail1" and out[1]["n_removed"] == 5
     assert out[2]["clean_text"] == "tail2" and out[2]["n_removed"] == 5
+
+
+def _sse(spark, emb, centroids):
+    from osm_jl_spark.operators.similarity import _nearest_centroid
+
+    return (
+        emb.select(
+            _nearest_centroid(F.col("embedding"), centroids)["d"].alias("d")
+        )
+        .agg(F.sum("d").alias("s"))
+        .first()["s"]
+    )
+
+
+def test_build_ivf_lloyd_refinement(spark):
+    # a larger deterministic cloud so refinement has something to move
+    # +1 keeps every coordinate strictly positive: a zero vector would
+    # hit ANSI DIVIDE_BY_ZERO in the unguarded brute-force cosine
+    rows = [
+        (i, [float((i * 2654435761) % 97 + 1) / 98.0,
+             float((i * 40503) % 89 + 1) / 90.0,
+             float((i * 69069) % 83 + 1) / 84.0])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    a0, c0 = S.build_ivf(emb, n_centroids=8, refine=0)
+    a2, c2 = S.build_ivf(emb, n_centroids=8, refine=2)
+    # Lloyd's invariant: each assign+recenter step never increases SSE
+    assert _sse(spark, emb, c2) <= _sse(spark, emb, c0) + 1e-9
+    # determinism: same inputs, same centroids
+    _, c2b = S.build_ivf(emb, n_centroids=8, refine=2)
+    assert c2 == c2b
+    # no-loss invariant survives refinement: probing ALL buckets of the
+    # refined index equals brute force exactly
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    brute = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.cosine_topk(emb, q, k=3, rank_round=9).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.ivf_topk(a2, c2, q, k=3, nprobe=8,
+                            rank_round=9).collect()
+    }
+    assert ivf == brute

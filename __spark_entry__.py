@@ -467,6 +467,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "host", "block_reason", "keep")
 
+    def doc_repetition_q(spark, sf_dir):
+        # within-doc line repetition (operators/quality.py:
+        # doc_repetition): documents get 0/1/3 copies of a footer line
+        # appended by doc_id % 3, so the duplicate-line and
+        # duplicate-char fractions take all three regimes. Oracle
+        # replays the whole computation over line STRINGS in DuckDB.
+        from osm_jl_spark.operators.quality import doc_repetition
+
+        docs = _pq(spark, sf_dir, "documents")
+        m = F.col("doc_id") % 3
+        footer = (
+            F.when(m == 0, F.lit(
+                "\nsubscribe now\nsubscribe now\nsubscribe now"))
+            .when(m == 1, F.lit("\nsubscribe now"))
+            .otherwise(F.lit(""))
+        )
+        corpus = docs.select(
+            "doc_id", F.concat(F.col("text"), footer).alias("text")
+        )
+        return doc_repetition(corpus)
+
     def shortest_paths_q(spark, sf_dir):
         # weighted routing over the same road graph: Bellman-Ford
         # relaxation rounds (operators/graph.py:shortest_paths).
@@ -1383,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": gopher_quality_q,
         "blocklist_filter": blocklist_filter_q,
         "tpch_q5": tpch_q5_q,
+        "doc_repetition": doc_repetition_q,
         "window_dup_stats": window_dup_stats_q,
         "window_dedup_clean": window_dedup_clean_q,
         "way_lengths": way_lengths_q,
@@ -2203,6 +2225,41 @@ FROM sig"""
 SELECT doc_id, host, block_reason,
        block_reason IS NULL AS keep
 FROM v"""
+
+    # doc_repetition: full line-string replay (split -> per-(doc,line)
+    # counts -> per-doc fractions); one int-over-int double division
+    # per fraction keeps cross-engine floats bit-equal.
+    out["doc_repetition"] = """WITH corpus AS (
+  SELECT doc_id,
+         text || CASE doc_id % 3
+           WHEN 0 THEN repeat(chr(10) || 'subscribe now', 3)
+           WHEN 1 THEN chr(10) || 'subscribe now'
+           ELSE '' END AS text
+  FROM documents
+),
+lns AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, chr(10)),
+                            l -> l <> '')) AS line
+  FROM corpus
+),
+per AS (
+  SELECT doc_id, line, count(*) AS c, len(line) AS ln
+  FROM lns GROUP BY doc_id, line
+),
+agg AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         count(*) AS n_distinct,
+         sum(ln * c) AS chars_all,
+         sum(CASE WHEN c >= 2 THEN ln * c ELSE 0 END) AS chars_dup
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       (n_lines - n_distinct) / n_lines AS dup_line_frac,
+       chars_dup / chars_all AS dup_line_char_frac
+FROM agg"""
 
     # window STRINGS, not hashes: the oracle replays the whole
     # computation engine-independently (tokenize -> 8-token windows ->

@@ -153,6 +153,52 @@ def repetition_scores(
     )
 
 
+def doc_repetition(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document line-repetition signals (the second half of the
+    Gopher repetition family; ``repetition_scores`` covers the n-gram
+    half): per document, ``dup_line_frac`` = lines that are repeats of
+    an earlier line / total lines ((total−distinct)/total, first
+    occurrence exempt), and ``dup_line_char_frac`` = characters on ALL
+    occurrences of any repeated line / total line characters — the
+    classic "page is mostly a repeated nav block" detector. Empty
+    lines are exempt; a document with no non-empty lines emits no row
+    (no signal), matching ``repetition_scores``.
+
+    Plan: explode lines → count per (doc, line) → one tiny agg per
+    doc; both aggregations are map-side combinable and every group is
+    bounded by a single document's own line list, so there are no hot
+    keys at any corpus size. Fractions are one int-over-int double
+    division — bit-equal across engines.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(text_col, "\n"), lambda l: l != F.lit(""))
+        ).alias("line"),
+    )
+    per = lines.groupBy("id", "line").agg(F.count(F.lit(1)).alias("c"))
+    chars = F.length("line") * F.col("c")
+    agg = per.groupBy("id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(chars).alias("chars_all"),
+        F.sum(F.when(F.col("c") >= 2, chars).otherwise(F.lit(0)))
+        .alias("chars_dup"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        ((F.col("n_lines") - F.col("n_distinct")) / F.col("n_lines"))
+        .alias("dup_line_frac"),
+        (F.col("chars_dup") / F.col("chars_all"))
+        .alias("dup_line_char_frac"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str = "doc_id",

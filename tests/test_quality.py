@@ -85,3 +85,27 @@ def test_gopher_quality_rules(spark):
     assert got[4]["keep"] is False
     assert got[5]["n_words"] == 5
     assert got[5]["keep"] is False
+
+
+def test_doc_repetition_fractions(spark):
+    from osm_jl_spark.operators.quality import doc_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\nbody text\nnav\nnav"),   # 'nav' x3 of 4 lines
+            (2, "a\nb\nc"),                     # all distinct
+            (3, "\n\n"),                        # only empty lines
+            (4, "solo"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in doc_repetition(docs).collect()}
+    # doc 1: 4 lines, 2 distinct -> (4-2)/4; chars: nav(3)*3 dup of
+    # 3*3 + 9 total
+    assert got[1]["n_lines"] == 4
+    assert abs(got[1]["dup_line_frac"] - 0.5) < 1e-12
+    assert abs(got[1]["dup_line_char_frac"] - 9 / 18) < 1e-12
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_char_frac"] == 0.0
+    assert 3 not in got        # no non-empty lines -> no signal row
+    assert got[4]["n_lines"] == 1

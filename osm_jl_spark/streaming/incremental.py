@@ -17,6 +17,11 @@ parity requirement. Two pieces:
   hygiene as stateful streams — first-seen content dedup and
   latest-capture-per-url (the input_hint's recrawl shape), both
   pinned equal to their batch counterparts across micro-batches.
+- ``streaming_asof_enrich``: the temporal AS-OF join
+  (operators/temporal.py) as a stateful stream — each capture
+  enriched with the policy snapshot in force at its event time; one
+  (epoch, value) state pair per key, batch parity pinned across
+  micro-batch boundaries.
 - Checkpointed incremental BATCH — the form the north rule's
   resumability actually requires — lives in plans/manifest.py
   (``run_with_manifest``: unit-sliced pipeline, idempotent overwrite,
@@ -199,3 +204,97 @@ def streaming_snapshot_latest(
     from osm_jl_spark.operators.dedup import snapshot_latest
 
     return snapshot_latest(stream, key=key, ts_col=ts_col)
+
+
+def streaming_asof_enrich(
+    captures: DataFrame,
+    policies: DataFrame,
+    on: str = "url",
+    cap_ts: str = "warc_ts",
+    pol_ts: str = "warc_ts",
+    cap_id_col: str = "fetch_h",
+    pol_val_col: str = "policy_val",
+) -> DataFrame:
+    """Streaming form of ``operators/temporal.asof_join`` (backward):
+    as captures stream in, attach the newest policy snapshot seen
+    at-or-before each capture's event time, keyed by ``on``. The use
+    case is the same live-recrawl shape as
+    ``streaming_snapshot_latest`` — enrich every fetched page with the
+    robots/policy version in force when it was fetched.
+
+    State per key = ONE (policy_epoch, policy_val) pair — the newest
+    policy so far — so state tracks distinct keys, not stream length.
+    Each micro-batch sorts its rows by (event time, policy-first) and
+    replays the batch operator's union+window scan incrementally: a
+    policy row advances the state, a capture row emits with the state
+    in force (NULL when it precedes every policy, matching the batch
+    LEFT semantics).
+
+    Equivalence contract (pinned by tests/test_streaming_asof.py):
+    under per-key event-time-ordered delivery — micro-batch boundaries
+    anywhere, captures and policies interleaved within a batch — the
+    emitted rows equal the batch ``asof_join`` exactly. A capture
+    arriving BEHIND a newer policy (cross-batch disorder) emits NULL
+    rather than a wrong newer policy: the single-pair state cannot
+    reconstruct history, the documented trade for O(1) state per key
+    (a watermark-delayed buffer would trade latency for reordering
+    tolerance).
+
+    Per-group Python over Arrow-batched pandas frames, pre-shuffled by
+    key — no per-row Python in the hot path, same operator class as
+    ``streaming_sessionize``.
+    """
+    import pandas as pd  # noqa: PLC0415 (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = ["url", "cap_epoch", "cap_id", "policy_epoch",
+                "policy_val"]
+
+    caps = captures.select(
+        F.col(on).alias("k"),
+        epoch_sec(cap_ts).alias("sec"),
+        F.lit(1).alias("side"),
+        F.col(cap_id_col).cast("long").alias("val"),
+    )
+    pols = policies.select(
+        F.col(on).alias("k"),
+        epoch_sec(pol_ts).alias("sec"),
+        F.lit(0).alias("side"),
+        F.col(pol_val_col).cast("long").alias("val"),
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        rows: list[tuple[int, int, int]] = []
+        for pdf in pdf_iter:
+            rows.extend(
+                (int(s), int(sd), int(v))
+                for s, sd, v in zip(pdf["sec"], pdf["side"], pdf["val"])
+            )
+        rows.sort()  # (sec, side): policy (0) before capture (1) at ties
+        if state.exists:
+            pts, pval = state.get
+        else:
+            pts, pval = None, None
+        emitted = []
+        for sec, side, val in rows:
+            if side == 0:
+                pts, pval = sec, val
+            elif pts is not None and pts <= sec:
+                emitted.append((key[0], sec, val, pts, pval))
+            else:
+                emitted.append((key[0], sec, val, None, None))
+        if pts is not None:
+            state.update((pts, pval))
+        if emitted:
+            yield pd.DataFrame(emitted, columns=out_cols)
+
+    return caps.unionByName(pols).groupBy("k").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "url STRING, cap_epoch BIGINT, cap_id BIGINT, "
+            "policy_epoch BIGINT, policy_val BIGINT"
+        ),
+        stateStructType="pol_epoch BIGINT, pol_val BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

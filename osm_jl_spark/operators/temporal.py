@@ -67,6 +67,12 @@ def asof_join(
         raise ValueError(direction)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(value_cols) & set(left.columns)
+    if clash or "asof_ts" in left.columns:
+        raise ValueError(
+            f"asof_join output name collision: {sorted(clash) or 'asof_ts'}"
+            " — alias the right payload (or left) columns first"
+        )
 
     payload = F.struct(
         F.col(right_ts).alias("_ts"),

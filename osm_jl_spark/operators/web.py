@@ -136,9 +136,12 @@ def blocklist_filter(
     (site-level URL prefixes at CommonCrawl scale) would bucket both
     sides on host instead; the operator's contract doesn't change.
     """
-    bl = blocklist.select(
-        F.col(host_col).alias("_bl_host"),
-        F.col("reason").alias("_bl_reason"),
+    # a host listed twice (two reasons) must not FAN OUT fact rows —
+    # the operator's contract is row-preserving. Collapse the
+    # dimension to one deterministic reason per host (min = first
+    # alphabetically) before the join.
+    bl = blocklist.groupBy(F.col(host_col).alias("_bl_host")).agg(
+        F.min("reason").alias("_bl_reason")
     )
     joined = docs.join(
         F.broadcast(bl),

@@ -333,7 +333,9 @@ def test_blocklist_filter_broadcasts_dimension(spark):
     plan = explain(blocklist_filter(
         docs, bl, keyword_rules=[("kw", F.col("text").contains("x"))],
     ))
-    assert count_nodes(plan, "Exchange") == 0, plan
+    # the ONE exchange is the dimension-side reason-dedup groupBy
+    # (bounded by blocklist size); the fact side never shuffles
+    assert count_nodes(plan, "Exchange") <= 1, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -109,3 +109,32 @@ def test_parity_with_pandas_merge_asof(spark):
         g = [None if pd.isna(v) else int(v) for v in got[c]]
         e = [None if pd.isna(v) else int(v) for v in exp[c]]
         assert g == e
+
+
+def test_asof_name_collision_raises(spark):
+    import pytest
+
+    caps, pol = _frames(spark)
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(
+            caps, pol.withColumnRenamed("rule", "body"),
+            on="url", left_ts="ts", right_ts="pts",
+        )
+
+
+def test_asof_tolerance_on_ntz_timestamps(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.sql(
+        "SELECT 'a' AS k, TIMESTAMP_NTZ '2024-01-01 00:00:10' AS ts"
+    )
+    right = spark.sql(
+        "SELECT 'a' AS k, TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts2,"
+        " 7 AS val"
+    )
+    ok = asof_join(left, right, on="k", left_ts="ts", right_ts="ts2",
+                   tolerance=F.lit(10)).first()
+    assert ok["val"] == 7          # gap 10 <= 10 (NTZ epoch math)
+    far = asof_join(left, right, on="k", left_ts="ts", right_ts="ts2",
+                    tolerance=F.lit(9)).first()
+    assert far["val"] is None      # gap 10 > 9: nulled, row kept

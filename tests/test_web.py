@@ -112,3 +112,18 @@ def test_blocklist_filter_precedence(spark):
     # input columns all survive
     assert set(out.columns) == {"doc_id", "host", "text",
                                 "block_reason", "keep"}
+
+
+def test_blocklist_duplicate_hosts_do_not_fan_out(spark):
+    from osm_jl_spark.operators.web import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "bad.org", "t")], "doc_id BIGINT, host STRING, text STRING"
+    )
+    bl = spark.createDataFrame(
+        [("bad.org", "zz_spam"), ("bad.org", "badlist")],
+        "host STRING, reason STRING",
+    )
+    rows = blocklist_filter(docs, bl).collect()
+    assert len(rows) == 1                      # row-preserving
+    assert rows[0]["block_reason"] == "badlist"  # deterministic min

@@ -488,6 +488,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return doc_repetition(corpus)
 
+    def domain_cap_q(spark, sf_dir):
+        # per-domain cap (operators/web.py: domain_cap, skew-safe
+        # two-stage row_number). The oracle is the ONE-window SQL the
+        # contract promises equality with — so the gate directly
+        # checks that the shard pre-filter never evicts a winner.
+        from osm_jl_spark.operators.web import domain_cap
+
+        docs = _pq(spark, sf_dir, "documents")
+        corpus = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host"),
+        )
+        out = domain_cap(corpus, max_per_host=3, order_col="doc_id")
+        return out.select(
+            "doc_id", "host", F.col("host_rank").cast("long").alias("host_rank")
+        )
+
+    def text_normalize_q(spark, sf_dir):
+        # unicode web-text normalization (functions/text.py:
+        # normalize_text_col). The corpus wraps documents text in known
+        # dirt (NBSP, curly quotes, tab runs, en dash, ellipsis); the
+        # oracle constructs the expected CLEAN string directly from the
+        # original text by arithmetic — it never runs the transform.
+        from osm_jl_spark.functions.text import normalize_text_col
+
+        docs = _pq(spark, sf_dir, "documents")
+        dirty = F.concat(
+            F.lit(" “"), F.col("text"),
+            F.lit("” \t\tt–tail…"),
+        )
+        corpus = docs.select("doc_id", dirty.alias("text"))
+        clean = normalize_text_col("text")
+        return corpus.select(
+            "doc_id",
+            F.md5(clean).alias("norm_md5"),
+            F.length(clean).cast("long").alias("n_chars"),
+        )
+
     def shortest_paths_q(spark, sf_dir):
         # weighted routing over the same road graph: Bellman-Ford
         # relaxation rounds (operators/graph.py:shortest_paths).
@@ -1405,6 +1446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": blocklist_filter_q,
         "tpch_q5": tpch_q5_q,
         "doc_repetition": doc_repetition_q,
+        "domain_cap": domain_cap_q,
+        "text_normalize": text_normalize_q,
         "window_dup_stats": window_dup_stats_q,
         "window_dedup_clean": window_dedup_clean_q,
         "way_lengths": way_lengths_q,
@@ -2225,6 +2268,26 @@ FROM sig"""
 SELECT doc_id, host, block_reason,
        block_reason IS NULL AS keep
 FROM v"""
+
+    # domain_cap: the oracle is the naive ONE-window formulation — the
+    # gate therefore checks the two-stage skew-safe plan computes
+    # exactly the single-window contract.
+    out["domain_cap"] = """SELECT doc_id, host, host_rank FROM (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+         row_number() OVER (PARTITION BY doc_id % 50
+                            ORDER BY doc_id) AS host_rank
+  FROM documents) t
+WHERE host_rank <= 3"""
+
+    # text_normalize: expected CLEAN string constructed directly from
+    # the original text (leading NBSP+quote trims/normalizes to '"',
+    # the tab run collapses, en dash and ellipsis fold) — the oracle
+    # never executes the transform.
+    out["text_normalize"] = """SELECT doc_id,
+       md5('"' || text || '" t-tail...') AS norm_md5,
+       CAST(len('"' || text || '" t-tail...') AS BIGINT) AS n_chars
+FROM documents"""
 
     # doc_repetition: full line-string replay (split -> per-(doc,line)
     # counts -> per-doc fractions); one int-over-int double division

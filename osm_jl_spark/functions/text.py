@@ -230,3 +230,29 @@ def ngrams_col(text: Column | str, n: int = 3) -> Column:
 def shingles_col(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as array<string> (space-joined), distinct."""
     return F.array_distinct(ngrams_col(text, n))
+
+
+def normalize_text_col(text: Column | str) -> Column:
+    """Web-text normalization (the CCNet/Dolma-style cleanup pass
+    before hashing or tokenizing): curly quotes -> straight, en/em
+    dashes -> '-', unicode ellipsis -> '...', NBSP -> space, C0
+    control characters stripped, horizontal whitespace runs collapsed
+    to one space, ends trimmed. Newlines are PRESERVED (line structure
+    feeds line_dedup / doc_repetition downstream).
+
+    Pure native expression chain (translate + three regexp_replace):
+    fuses into the scan projection like every other signal here.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    # 1:1 codepoint swaps in one translate pass
+    c = F.translate(
+        c,
+        "“”„«»‘’‚"
+        "–— ",
+        "\"\"\"\"\"'''-- ",
+    )
+    c = F.regexp_replace(c, "…", "...")
+    # strip C0 controls except \t (collapsed next) and \n (preserved)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    return F.trim(c)

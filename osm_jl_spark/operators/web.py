@@ -12,7 +12,7 @@ extend the engine's input side for the BASELINE.json input_hint table
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # scheme://host[:port]/...  -> host, any scheme case. (?i) and no
@@ -155,4 +155,40 @@ def blocklist_filter(
         joined.withColumn("block_reason", reason)
         .withColumn("keep", F.col("block_reason").isNull())
         .drop("_bl_host", "_bl_reason")
+    )
+
+
+def domain_cap(
+    docs: DataFrame,
+    host_col: str = "host",
+    max_per_host: int = 100,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain cap — keep each host's first ``max_per_host``
+    documents by ``order_col`` (CommonCrawl-style pipelines cap hot
+    domains so one forum doesn't dominate the corpus). Deterministic:
+    the kept set is exactly the top-N by (order_col) per host, so any
+    engine computing the same contract agrees row for row.
+
+    Plan (the skew story): a single ``row_number() over (partition by
+    host)`` would sort EVERY row of the hottest domain in one task —
+    the classic window skew cliff at 10^12 pages. Instead the cap runs
+    in two stages: (1) a row_number over (host, input-partition shard)
+    keeps at most N rows per shard — uniform keys, bounded sort runs —
+    then (2) the real row_number over host ranks the surviving
+    ≤ N x shards rows. Stage 1 can never evict a stage-2 winner (a
+    host's global top-N within one shard is also that shard's top-N),
+    so the two-stage result is EXACTLY the one-window result, at two
+    uniform exchanges instead of one skewed one.
+    """
+    shard = F.spark_partition_id().alias("_shard")
+    w1 = Window.partitionBy(host_col, "_shard").orderBy(order_col)
+    w2 = Window.partitionBy(host_col).orderBy(order_col)
+    return (
+        docs.withColumn("_shard", shard)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= max_per_host)
+        .withColumn("host_rank", F.row_number().over(w2))
+        .where(F.col("host_rank") <= max_per_host)
+        .drop("_shard", "_r1")
     )

@@ -339,3 +339,29 @@ def test_blocklist_filter_broadcasts_dimension(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_cap_two_uniform_exchanges(spark):
+    """domain_cap's skew contract: two exchanges — (host, shard) then
+    host over the capped survivors — and no single skewed sort."""
+    from osm_jl_spark.operators.web import domain_cap
+
+    docs = spark.read.parquet(SF + "/documents.parquet").selectExpr(
+        "doc_id", "source AS host"
+    )
+    plan = explain(domain_cap(docs, max_per_host=3))
+    assert count_nodes(plan, "Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_repetition_two_exchanges(spark):
+    """doc_repetition: explode + two map-side-combinable aggs — two
+    exchanges, both keyed by doc id (no hot keys), zero Python."""
+    from osm_jl_spark.operators.quality import doc_repetition
+
+    docs = spark.read.parquet(SF + "/documents.parquet").selectExpr(
+        "doc_id", "text"
+    )
+    plan = explain(doc_repetition(docs))
+    assert count_nodes(plan, "Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -111,3 +111,26 @@ def test_fused_geoparse_html_matches_two_stage(spark):
     a = sorted(tuple(r) for r in two_stage.collect())
     b = sorted(tuple(r) for r in fused.collect())
     assert a == b and len(a) > 0
+
+
+def test_normalize_text_col_rules(spark):
+    from osm_jl_spark.functions.text import normalize_text_col
+
+    cases = {
+        # curly quotes, dashes, ellipsis, NBSP
+        "“q” ‘s’ a–b—c x y e…":
+            "\"q\" 's' a-b-c x y e...",
+        # control chars stripped, tab runs collapse, ends trim
+        "  a\x00b\x07\t\tc  ": "ab c",
+        # newlines PRESERVED (line structure feeds line_dedup)
+        "l1  \t\nl2": "l1 \nl2",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["v"])
+    got = {
+        r["v"]: r["n"]
+        for r in df.select(
+            "v", normalize_text_col("v").alias("n")
+        ).collect()
+    }
+    for dirty, clean in cases.items():
+        assert got[dirty] == clean, (dirty, got[dirty], clean)

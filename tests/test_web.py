@@ -127,3 +127,29 @@ def test_blocklist_duplicate_hosts_do_not_fan_out(spark):
     rows = blocklist_filter(docs, bl).collect()
     assert len(rows) == 1                      # row-preserving
     assert rows[0]["block_reason"] == "badlist"  # deterministic min
+
+
+def test_domain_cap_equals_single_window_on_skew(spark):
+    from pyspark.sql import Window
+
+    from osm_jl_spark.operators.web import domain_cap
+
+    # one hot host (80%) + tail, scattered over many input partitions
+    rows = [(i, "hot.org" if i % 5 != 0 else f"h{i % 7}.org")
+            for i in range(500)]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, host STRING"
+    ).repartition(16)
+    got = {
+        (r["doc_id"], r["host"], r["host_rank"])
+        for r in domain_cap(docs, max_per_host=4).collect()
+    }
+    w = Window.partitionBy("host").orderBy("doc_id")
+    want = {
+        (r["doc_id"], r["host"], r["host_rank"])
+        for r in docs.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= 4)
+        .collect()
+    }
+    assert got == want
+    assert len({g for g in got if g[1] == "hot.org"}) == 4

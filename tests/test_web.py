@@ -153,3 +153,28 @@ def test_domain_cap_equals_single_window_on_skew(spark):
     }
     assert got == want
     assert len({g for g in got if g[1] == "hot.org"}) == 4
+
+
+def test_approx_domain_stats_error_bound(spark):
+    from osm_jl_spark.operators.web import approx_domain_stats
+
+    rows = [
+        (i % 3, "h%d.org" % ((i * 7919) % (2500 + 500 * (i % 3))))
+        for i in range(60000)
+    ]
+    docs = spark.createDataFrame(rows, "lang INT, host STRING")
+    exact = {
+        r["lang"]: r["x"]
+        for r in docs.groupBy("lang")
+        .agg(F.countDistinct("host").alias("x"))
+        .collect()
+    }
+    for parts in (1, 16):
+        got = approx_domain_stats(docs.repartition(parts)).collect()
+        assert {r["lang"] for r in got} == set(exact)
+        for r in got:
+            assert r["n_docs"] == 20000
+            rel = abs(r["distinct_hosts_est"] - exact[r["lang"]]) / exact[
+                r["lang"]
+            ]
+            assert rel < 0.05, (parts, r["lang"], rel)

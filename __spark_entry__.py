@@ -547,6 +547,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return approx_domain_stats(corpus)
 
+    def pipeline_hygiene_q(spark, sf_dir):
+        # the user-story composite: blocklist -> Gopher quality gate ->
+        # per-domain cap chained through the LIBRARY operators into ONE
+        # Catalyst plan (like corpus_clean, but over the round-4 web
+        # hygiene suite). The oracle re-derives every stage in one SQL:
+        # arithmetic blocklist verdicts, the independent gopher signal
+        # replica, and the naive one-window cap.
+        from osm_jl_spark.operators.quality import gopher_quality
+        from osm_jl_spark.operators.web import blocklist_filter, domain_cap
+
+        docs = _pq(spark, sf_dir, "documents")
+        corpus = docs.select(
+            "doc_id", "lang", "text",
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host"),
+        )
+        bl = spark.createDataFrame(
+            [(f"h{i}.example.org", "badlist") for i in range(0, 50, 4)],
+            "host STRING, reason STRING",
+        )
+        kept = (
+            blocklist_filter(
+                corpus, bl, host_col="host",
+                keyword_rules=[(
+                    "kw_customer",
+                    F.col("text").contains("customer")
+                    & (F.col("lang") == "en"),
+                )],
+            )
+            .where("keep")
+            .select("doc_id", "host", "text")
+        )
+        good = (
+            gopher_quality(kept, keep_cols=["host"])
+            .where("keep")
+            .select("doc_id", "host")
+        )
+        out = domain_cap(good, max_per_host=2, order_col="doc_id")
+        return out.select(
+            "doc_id", "host",
+            F.col("host_rank").cast("long").alias("host_rank"),
+        )
+
     def shortest_paths_q(spark, sf_dir):
         # weighted routing over the same road graph: Bellman-Ford
         # relaxation rounds (operators/graph.py:shortest_paths).
@@ -1467,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": domain_cap_q,
         "text_normalize": text_normalize_q,
         "approx_domains": approx_domains_q,
+        "pipeline_hygiene": pipeline_hygiene_q,
         "window_dup_stats": window_dup_stats_q,
         "window_dedup_clean": window_dedup_clean_q,
         "way_lengths": way_lengths_q,
@@ -2214,27 +2260,18 @@ FROM caps c ASOF LEFT JOIN pol p
         f"CAST(list_contains(words, '{s}') AS BIGINT)"
         for s in ("the", "a", "and", "of", "to", "be", "that", "with")
     )
-    out["gopher_quality"] = f"""WITH webdocs AS (
-  SELECT doc_id,
-         CASE doc_id % 11
-           WHEN 0 THEN repeat('- buy now' || chr(10), 19) || text
-           WHEN 1 THEN '- a' || chr(10) || '- b' || chr(10)
-                       || '- c' || chr(10) || text
-           WHEN 2 THEN text || chr(10) || 'read more...'
-                       || chr(10) || 'click here...'
-           WHEN 3 THEN text || ' ' || repeat('# ', 40)
-           WHEN 4 THEN substr(text, 1, 20)
-           ELSE text END AS text
-  FROM documents
-),
-parts AS (
+
+    # parts+sig CTE pair over any (doc_id, text) source — shared by the
+    # gopher_quality oracle and the pipeline_hygiene composite
+    def _gopher_sig(src: str) -> str:
+        return f"""parts AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(text, '\\s+'),
                      w -> w <> '') AS words,
          string_split(text, chr(10)) AS lines,
          list_filter(string_split(text, chr(10)),
                      l -> l <> '') AS nlines
-  FROM webdocs
+  FROM {src}
 ),
 sig AS (
   SELECT doc_id,
@@ -2250,7 +2287,31 @@ sig AS (
              w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
          {stop_sum} AS stop_hits
   FROM parts
-)
+)"""
+
+    _gopher_keep = """coalesce(
+         n_words BETWEEN 50 AND 100000
+         AND (wchars / n_words) BETWEEN 3.0 AND 10.0
+         AND (n_hash + n_ell) / n_words < 0.1
+         AND n_bullet / n_lines < 0.9
+         AND n_ellline / n_lines < 0.3
+         AND n_alpha / n_words > 0.8
+         AND stop_hits >= 2, false)"""
+
+    out["gopher_quality"] = f"""WITH webdocs AS (
+  SELECT doc_id,
+         CASE doc_id % 11
+           WHEN 0 THEN repeat('- buy now' || chr(10), 19) || text
+           WHEN 1 THEN '- a' || chr(10) || '- b' || chr(10)
+                       || '- c' || chr(10) || text
+           WHEN 2 THEN text || chr(10) || 'read more...'
+                       || chr(10) || 'click here...'
+           WHEN 3 THEN text || ' ' || repeat('# ', 40)
+           WHEN 4 THEN substr(text, 1, 20)
+           ELSE text END AS text
+  FROM documents
+),
+{_gopher_sig('webdocs')}
 SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
        CASE WHEN n_words > 0 THEN wchars / n_words END
@@ -2272,6 +2333,31 @@ SELECT doc_id,
          AND n_alpha / n_words > 0.8
          AND stop_hits >= 2, false) AS keep
 FROM sig"""
+
+    # pipeline_hygiene: every stage re-derived in ONE SQL — arithmetic
+    # blocklist verdicts, the shared gopher signal replica, and the
+    # naive one-window cap the skew-safe two-stage plan must equal.
+    out["pipeline_hygiene"] = f"""WITH v AS (
+  SELECT doc_id, lang, text,
+         'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+         CASE WHEN (doc_id % 50) % 4 = 0 THEN 'badlist'
+              WHEN text LIKE '%customer%' AND lang = 'en'
+                THEN 'kw_customer' END AS br
+  FROM documents
+),
+kept AS (SELECT doc_id, host, text FROM v WHERE br IS NULL),
+{_gopher_sig('kept')},
+good AS (
+  SELECT s.doc_id, k.host
+  FROM sig s JOIN kept k USING (doc_id)
+  WHERE {_gopher_keep}
+)
+SELECT doc_id, host, host_rank FROM (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id)
+           AS host_rank
+  FROM good) t
+WHERE host_rank <= 2"""
 
     # blocklist_filter: verdicts derived purely by ARITHMETIC (host
     # index % 4) — the engine runs an actual broadcast dimension join,

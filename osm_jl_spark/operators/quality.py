@@ -40,6 +40,7 @@ def gopher_quality(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stop_hits: int = 2,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher-style composite document-quality filter (Rae et al. 2021
     §A1.1): per-document rule signals plus the conjunctive ``keep``
@@ -47,6 +48,10 @@ def gopher_quality(
     caller's one-line ``.where("keep")`` — because a pretraining
     pipeline wants the audit table (which rule killed how much) as
     much as the surviving corpus.
+
+    ``keep_cols`` names input columns to carry through unchanged (a
+    composite pipeline keeps its routing keys, e.g. host, without a
+    join back).
 
     Signals: ``n_words`` (whitespace tokens), ``mean_word_len``,
     ``symbol_ratio`` ('#' chars + '...' occurrences per word),
@@ -90,6 +95,7 @@ def gopher_quality(
     lguard = n_lines > 0
     sig = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols or []],
         n_words.cast("long").alias("n_words"),
         F.when(guard, wchars / n_words).alias("mean_word_len"),
         F.when(guard, (n_hash + n_ell) / n_words).alias("symbol_ratio"),

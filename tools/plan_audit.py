@@ -160,6 +160,11 @@ AUDITED = [
     ("text_normalize", "unicode normalization is a narrow map: one "
      "translate + three regexp_replace fused into the scan "
      "projection - zero exchanges beyond the md5 projection's none"),
+    ("pipeline_hygiene", "composite: blocklist broadcast join + gopher "
+     "narrow map fuse into the scan stage; the only exchanges are the "
+     "dim reason-dedup and domain_cap's two uniform-key windows - the "
+     "whole pipeline is ONE Catalyst plan, no materialization between "
+     "stages"),
 ]
 
 

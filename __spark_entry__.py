@@ -288,6 +288,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "way_id", "n_pts", F.round("length_m", 2).alias("length_m")
         )
 
+    def way_simplify_q(spark, sf_dir):
+        # Douglas-Peucker polyline simplification
+        # (operators/simplify.py): exact integer split test, so the
+        # DuckDB oracle replays the WHOLE recursion in HUGEINT via a
+        # recursive CTE — the same oracle class as BFS/shortest_paths.
+        # eps = 10 degrees: world-scale ways drop interior points,
+        # cluster-scale ways collapse to endpoints.
+        from osm_jl_spark.operators.simplify import simplify_ways
+
+        geoms = J.way_geometries(
+            _ways(spark, sf_dir), _nodes(spark, sf_dir)
+        )
+        return simplify_ways(geoms, epsilon_u=1_000_000)
+
     def quadkey_tiles_q(spark, sf_dir):
         # web-mercator z/x/y tiling (functions/cells.py:quadkey_col):
         # zoom-12 quadkey per node, counts per tile PLUS the zoom-10
@@ -1513,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": text_normalize_q,
         "approx_domains": approx_domains_q,
         "pipeline_hygiene": pipeline_hygiene_q,
+        "way_simplify": way_simplify_q,
         "window_dup_stats": window_dup_stats_q,
         "window_dedup_clean": window_dedup_clean_q,
         "way_lengths": way_lengths_q,
@@ -2549,6 +2564,73 @@ SELECT c.id AS way_id, c.n_pts,
                   ELSE list_reduce(l.ls, (a, b) -> a + b) END, 2)
          AS length_m
 FROM c LEFT JOIN l ON c.id = l.id"""
+
+    # way_simplify: the WHOLE Douglas-Peucker recursion replayed in a
+    # recursive CTE — split test in exact HUGEINT (cross² vs eps²·len²,
+    # point-distance² fallback for closed segments), first-max ties
+    # via list_position, kept = every endpoint/split index ever
+    # generated. No floats anywhere, so parity is exact.
+    _dp_eps2 = 1_000_000 * 1_000_000
+    out["way_simplify"] = f"""WITH RECURSIVE {nodes}, {ways},
+geo AS (
+  SELECT wr.id AS way_id,
+         list(CAST(round(n.lon * 100000) AS BIGINT)
+              ORDER BY wr.pos) AS xs,
+         list(CAST(round(n.lat * 100000) AS BIGINT)
+              ORDER BY wr.pos) AS ys,
+         count(*) AS n
+  FROM ways_refs wr JOIN nodes n ON wr.ref = n.id
+  GROUP BY wr.id
+),
+segs(way_id, i, j) AS (
+  SELECT way_id, CAST(1 AS BIGINT), CAST(n AS BIGINT)
+  FROM geo WHERE n >= 2
+  UNION ALL
+  SELECT t.way_id,
+         CASE WHEN p.part = 1 THEN t.i ELSE t.k END,
+         CASE WHEN p.part = 1 THEN t.k ELSE t.j END
+  FROM (
+    SELECT way_id, i, j,
+           i + list_position(ds, list_max(ds)) AS k,
+           list_max(ds) >
+             (CASE WHEN l2 = 0 THEN CAST({_dp_eps2} AS HUGEINT)
+                   ELSE CAST({_dp_eps2} AS HUGEINT) * l2 END)
+             AS do_split
+    FROM (
+      SELECT way_id, i, j, dx * dx + dy * dy AS l2,
+             CASE WHEN dx = 0 AND dy = 0 THEN
+               list_transform(range(i + 1, j), k ->
+                 CAST(xs[k] - xs[i] AS HUGEINT) * (xs[k] - xs[i])
+                 + CAST(ys[k] - ys[i] AS HUGEINT) * (ys[k] - ys[i]))
+             ELSE
+               list_transform(range(i + 1, j), k ->
+                 CAST(dx * (ys[k] - ys[i])
+                      - dy * (xs[k] - xs[i]) AS HUGEINT)
+                 * (dx * (ys[k] - ys[i]) - dy * (xs[k] - xs[i])))
+             END AS ds
+      FROM (
+        SELECT s.way_id, s.i, s.j, g.xs, g.ys,
+               g.xs[s.j] - g.xs[s.i] AS dx,
+               g.ys[s.j] - g.ys[s.i] AS dy
+        FROM segs s JOIN geo g USING (way_id)
+        WHERE s.j - s.i >= 2
+      ) q0
+    ) q1
+  ) t, (VALUES (1), (2)) p(part)
+  WHERE t.do_split
+),
+kept AS (
+  SELECT way_id, i AS idx FROM segs
+  UNION
+  SELECT way_id, j FROM segs
+  UNION
+  SELECT way_id, CAST(1 AS BIGINT) FROM geo WHERE n = 1
+)
+SELECT k.way_id,
+       k.idx - 1 AS idx,
+       g.xs[k.idx] AS lon_u,
+       g.ys[k.idx] AS lat_u
+FROM kept k JOIN geo g USING (way_id)"""
 
     # the same slippy-map arithmetic, same operation order (clamp ->
     # sin -> ln ratio -> scaled floor), same bit-interleave

@@ -165,6 +165,10 @@ AUDITED = [
      "dim reason-dedup and domain_cap's two uniform-key windows - the "
      "whole pipeline is ONE Catalyst plan, no materialization between "
      "stages"),
+    ("way_simplify", "Douglas-Peucker: ONE declared ArrowEvalPython "
+     "over whole-way coordinate arrays (SURVEY 2.9 rule (b) - "
+     "genuinely recursive), riding the J1 regroup shuffle; no "
+     "exchange added, each DP bounded by its own way's length"),
 ]
 
 

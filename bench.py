@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "doc_repetition",
     "domain_cap",
     "text_normalize",
+    "pipeline_hygiene",
+    "way_simplify",
     "minhash_pairs",
     "simhash_pairs",
     "snapshot_latest",

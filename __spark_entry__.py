@@ -1509,13 +1509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Registration ORDER matters: the driver's correctness check walks
     # this dict in insertion order and has covered only a ~50-entry
-    # prefix each round (r1: 48, r2/r3: exactly the first 50). Round 4
-    # rotation: the 21 queries the r3 prefix skipped (newest driver
-    # evidence = CORRECTNESS_r02) move to the FRONT, expensive
-    # iterative/10k-query ones first so a time-truncated pass still
-    # refreshes them; the brand-new line_dedup leads. The r3-green
-    # remainder follows cheapest-first — the ~22 that fall out of the
-    # r4 prefix all carry a CORRECTNESS_r03 green row (1 round old).
+    # prefix each round (r1: 48, r2/r3: exactly the first 50). Round-4
+    # order: the 10 never-driver-checked late-round-4 queries lead,
+    # then the 6 early-round-4 ones, then the 21 queries the r3 prefix
+    # skipped (newest driver evidence = CORRECTNESS_r02, expensive
+    # iterative ones first) — 37 entries, all inside the prefix. The
+    # r3-green remainder follows; everything that falls out of the r4
+    # prefix carries a CORRECTNESS_r03 green row (1 round old).
     return {
         # -- new this round, never driver-checked
         "crawl_asof": crawl_asof_q,

@@ -87,7 +87,9 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _counts(sf_dir)["docs"]
     cache = os.environ.get("SPARK_GRAFT_PAGES_CACHE")
     if cache:
-        path = os.path.join(cache, f"pages_{n}.parquet")
+        path = os.path.join(
+            cache, f"pages_v{G.PAGES_CACHE_VERSION}_{n}.parquet"
+        )
         if not os.path.exists(path):
             os.makedirs(cache, exist_ok=True)
             G.load_pages(spark, n).write.mode("overwrite").parquet(path)
@@ -560,6 +562,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("host"),
         )
         return approx_domain_stats(corpus)
+
+    def page_links_q(spark, sf_dir):
+        # href extraction from raw html (operators/links.py): one
+        # narrow regexp_extract_all map over the binary column, zero
+        # exchanges. Oracle: datagen's pages_links CTE reconstructs
+        # every (url, link_idx, href, host) ARITHMETICALLY — the
+        # extractor must recover exactly the anchors load_pages
+        # embedded, without the oracle running any regex.
+        from osm_jl_spark.operators.links import extract_links
+
+        return extract_links(_pages(spark, sf_dir)).select(
+            "url", "link_idx", "href", "dst_host"
+        )
+
+    def host_in_links_q(spark, sf_dir):
+        # host-level in-link census over the extracted anchors: one
+        # map-side-combinable shuffle on dst_host (53 hosts here; hot
+        # hosts cost one partial row per input partition at any scale).
+        from osm_jl_spark.operators.links import extract_links, host_in_links
+
+        return host_in_links(extract_links(_pages(spark, sf_dir)))
+
+    def link_pagerank_q(spark, sf_dir):
+        # PageRank over the document link graph, EXACT integer-scaled
+        # variant (damping 1/2, rank_s = rank * N * 4^3 — see
+        # operators/links.py:pagerank_scaled). Iterative DataFrame
+        # joins like bfs_hops; the oracle unrolls the same three
+        # iterations in pure BIGINT SQL, so the match is hash-exact
+        # with no float repr hazard. tests/test_links.py pins the
+        # general float operator to this one on the same graph.
+        from osm_jl_spark.operators.links import extract_links, pagerank_scaled
+
+        pages = _pages(spark, sf_dir)
+        links = extract_links(pages)
+        edges = links.select(
+            F.regexp_extract("url", r"/p/([0-9]+)$", 1)
+            .cast("long").alias("src"),
+            F.regexp_extract("href", r"/d/([0-9]+)$", 1)
+            .cast("long").alias("dst"),
+        )
+        nodes = pages.select(
+            F.regexp_extract("url", r"/p/([0-9]+)$", 1)
+            .cast("long").alias("node")
+        )
+        r = pagerank_scaled(edges, nodes, iters=3)
+        return r.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_s"))
 
     def pipeline_hygiene_q(spark, sf_dir):
         # the user-story composite: blocklist -> Gopher quality gate ->
@@ -1155,6 +1203,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_kept",
         )
 
+    def length_quantiles_q(spark, sf_dir):
+        # exact per-language token-length quantiles over the
+        # (lang, length) HISTOGRAM (operators/stats.py): the hot `en`
+        # group never sorts its raw docs in one task — the corpus
+        # shuffle is a uniform composite-key count, the window sees
+        # only distinct lengths. Integer rank arithmetic
+        # (100*cum >= pct*n) keeps the DuckDB definition replay
+        # hash-exact.
+        from osm_jl_spark.operators.stats import group_quantiles_exact
+
+        docs = _pq(spark, sf_dir, "documents")
+        out = group_quantiles_exact(
+            docs, "lang", token_count_col("text"), [25, 50, 90, 99]
+        )
+        return out.select("lang", "pct", F.col("q").cast("long").alias("q"))
+
     def token_count_by_lang_q(spark, sf_dir):
         docs = _pq(spark, sf_dir, "documents")
         return (
@@ -1518,6 +1582,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prefix carries a CORRECTNESS_r03 green row (1 round old).
     return {
         # -- new this round, never driver-checked
+        "page_links": page_links_q,
+        "host_in_links": host_in_links_q,
+        "link_pagerank": link_pagerank_q,
+        "length_quantiles": length_quantiles_q,
         "crawl_asof": crawl_asof_q,
         "gopher_quality": gopher_quality_q,
         "blocklist_filter": blocklist_filter_q,
@@ -1627,6 +1695,59 @@ def oracle_sql() -> dict[str, str]:
     xlo, xhi, ylo, yhi = bbox_cell_range(G.VITORIA_UL, G.VITORIA_LR, PRECISION)
 
     out: dict[str, str] = {}
+
+    # link extraction: the oracle NEVER runs a regex — datagen's
+    # pages_links CTE reconstructs every anchor arithmetically from
+    # the same rule load_pages used to embed them in html
+    out["page_links"] = f"""WITH {pages}
+SELECT url, link_idx, href, dst_host
+FROM pages_links"""
+
+    out["host_in_links"] = f"""WITH {pages}
+SELECT dst_host,
+       count(*) AS n_links,
+       count(DISTINCT url) AS n_src_docs
+FROM pages_links
+GROUP BY dst_host"""
+
+    # exact integer-scaled PageRank (damping 1/2, R = rank * N * 4^t):
+    # three unrolled iterations of R_{{t+1}}(v) = 2*4^t +
+    # sum_{{u->v}} (2/deg_u) * R_t(u), all BIGINT — see
+    # operators/links.py:pagerank_scaled for the derivation
+    out["link_pagerank"] = f"""WITH {pages},
+deg AS (SELECT i AS src, count(*) AS deg FROM pages_links GROUP BY i),
+e AS (
+  SELECT l.i AS src, l.dst,
+         CASE WHEN d.deg = 1 THEN 2 ELSE 1 END AS coef
+  FROM pages_links l JOIN deg d ON d.src = l.i
+),
+nodes AS (SELECT i AS node FROM pages_docs),
+r0 AS (SELECT node, CAST(1 AS BIGINT) AS r FROM nodes),
+r1 AS (
+  SELECT n.node,
+         CAST(2 + coalesce(sum(e.coef * r.r), 0) AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN r0 r ON r.node = e.src
+  GROUP BY n.node
+),
+r2 AS (
+  SELECT n.node,
+         CAST(8 + coalesce(sum(e.coef * r.r), 0) AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN r1 r ON r.node = e.src
+  GROUP BY n.node
+),
+r3 AS (
+  SELECT n.node,
+         CAST(32 + coalesce(sum(e.coef * r.r), 0) AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN r2 r ON r.node = e.src
+  GROUP BY n.node
+)
+SELECT node AS doc_id, r AS rank_s FROM r3"""
 
     out["geoparse_points"] = (
         f"WITH {pages} SELECT url, pt_idx, lon, lat FROM pages_pts"
@@ -2689,6 +2810,30 @@ q AS (
   FROM t
 )
 SELECT id, qk FROM q WHERE substr(qk, 1, 4) = '2110'"""
+
+    # exact discrete quantiles: independent replay of the DEFINITION
+    # (smallest value whose cumulative count reaches ceil(pct*n/100))
+    # over the same histogram construction — all-integer rank test
+    out["length_quantiles"] = """WITH
+t AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+  FROM documents
+),
+h AS (SELECT lang, nt, count(*) AS cnt FROM t GROUP BY lang, nt),
+c AS (
+  SELECT lang, nt, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY nt) AS cum
+  FROM h
+),
+n AS (SELECT lang, sum(cnt) AS n FROM h GROUP BY lang),
+p AS (SELECT unnest([25, 50, 90, 99]) AS pct)
+SELECT c.lang, p.pct, CAST(min(c.nt) AS BIGINT) AS q
+FROM c
+JOIN n USING (lang)
+CROSS JOIN p
+WHERE c.cum * 100 >= p.pct * n.n
+GROUP BY c.lang, p.pct"""
 
     out["token_count_by_lang"] = """WITH
 t AS (

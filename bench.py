@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "way_lengths",
     "tile_store_read",
     "crawl_asof",
+    "page_links",
+    "host_in_links",
+    "link_pagerank",
+    "length_quantiles",
     "gopher_quality",
     "blocklist_filter",
     "tpch_q5",
@@ -214,8 +218,8 @@ def main() -> None:
     # production reads Iceberg/parquet, not the SQL generator)
     os.makedirs(SCRATCH, exist_ok=True)
     n_docs = G.counts_for_sf(sf)["docs"]
-    sf_path = os.path.join(SCRATCH, f"pages_{n_docs}.parquet")
-    scale_path = os.path.join(SCRATCH, f"pages_{SCALING_DOCS}.parquet")
+    sf_path = os.path.join(SCRATCH, f"pages_v{G.PAGES_CACHE_VERSION}_{n_docs}.parquet")
+    scale_path = os.path.join(SCRATCH, f"pages_v{G.PAGES_CACHE_VERSION}_{SCALING_DOCS}.parquet")
     if not os.path.exists(sf_path):
         G.load_pages(spark, n_docs).write.mode("overwrite").parquet(sf_path)
     if not os.path.exists(scale_path):

@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 KNUTH = 2654435761
 M32 = 4294967296
+
+# Bump whenever load_pages output changes content: the bench scratch
+# dir persists across runs, so a stale cached pages parquet would
+# silently serve the previous table shape. v2: html carries link
+# anchors (pages_links).
+PAGES_CACHE_VERSION = 2
 A1 = 48271
 A2 = 69621
 MERS = 2147483647
@@ -147,9 +153,15 @@ def pages_ctes(dialect: str, n_docs: int) -> str:
     """CTE chain ending in:
 
     - ``pages_pts(i, url, pt_idx, lon, lat)`` — arithmetic ground-truth
-      points per document (what geoparse must recover), and
+      points per document (what geoparse must recover),
     - ``pages(i, url, warc_epoch, text, lang)`` — the text carries each
-      point as ``point lat <D.DDDDD> lon <D.DDDDD> ;`` mentions.
+      point as ``point lat <D.DDDDD> lon <D.DDDDD> ;`` mentions, and
+    - ``pages_links(i, url, link_idx, dst, href, dst_host)`` —
+      arithmetic ground-truth outlinks per document (what the link
+      extractor must recover from the html anchors ``load_pages``
+      embeds). ``dh % 3`` links per doc (0–2), target doc
+      ``dst = ((dh + (s+1)·KNUTH) mod 2^32) mod n_docs`` on one of 53
+      external hosts ``h<dst%53>.example.net``.
     """
     d = _tok(dialect)
     fmt_lat = _fmt_coord("lat_u", d)
@@ -192,7 +204,37 @@ pages AS (
   FROM pages_docs p
   LEFT JOIN pts_str g ON g.i = p.i
   GROUP BY p.i, p.dh
+),
+pages_links AS (
+  SELECT p.i,
+         concat('https://example.org/p/', CAST(p.i AS {d['STR']})) AS url,
+         s.i AS link_idx,
+         CAST({_LINK_DST.format(n=n_docs)} AS BIGINT) AS dst,
+         {link_href_sql(d, _LINK_DST.format(n=n_docs))} AS href,
+         {link_host_sql(d, _LINK_DST.format(n=n_docs))} AS dst_host
+  FROM pages_docs p
+  JOIN {_iter(dialect, 2, 's')} ON s.i < p.dh % 3
 )"""
+
+
+# target-doc expression for pages_links (one definition; see
+# link_href_sql)
+_LINK_DST = f"(((p.dh + (s.i + 1) * {KNUTH}) % {M32}) % {{n}})"
+
+
+def link_href_sql(d: dict[str, str], dst: str) -> str:
+    """The href string for the target-doc expression ``dst`` — defined
+    ONCE so the html anchors (load_pages), the DuckDB oracles, and any
+    direct CTE consumer agree by construction."""
+    return (
+        f"concat('https://h', CAST(({dst}) % 53 AS {d['STR']}),"
+        f" '.example.net/d/', CAST({dst} AS {d['STR']}))"
+    )
+
+
+def link_host_sql(d: dict[str, str], dst: str) -> str:
+    """Host of :func:`link_href_sql` for the same ``dst``."""
+    return f"concat('h', CAST(({dst}) % 53 AS {d['STR']}), '.example.net')"
 
 
 def load_pages(spark: SparkSession, n_docs: int) -> DataFrame:
@@ -210,14 +252,31 @@ def load_pages(spark: SparkSession, n_docs: int) -> DataFrame:
     """
     ctes = pages_ctes("spark", n_docs)
     return spark.sql(
-        f"""WITH {ctes}
-SELECT url,
-       timestampadd(SECOND, warc_epoch,
+        f"""WITH {ctes},
+anchors AS (
+  -- whitespace-free <a href></a> anchors AFTER </p>: pure markup, so
+  -- extract_text (tags -> space, collapse, strip) still returns text
+  -- byte-identically while the link extractor has real hrefs to find
+  SELECT i,
+         concat(
+           coalesce(max(CASE WHEN link_idx = 0
+                        THEN concat('<a href="', href, '"></a>') END), ''),
+           coalesce(max(CASE WHEN link_idx = 1
+                        THEN concat('<a href="', href, '"></a>') END), '')
+         ) AS anch
+  FROM pages_links
+  GROUP BY i
+)
+SELECT p.url,
+       timestampadd(SECOND, p.warc_epoch,
                     TIMESTAMP_NTZ '1970-01-01 00:00:00') AS warc_ts,
-       encode(concat('<html><body><p>', text, '</p></body></html>'), 'utf-8') AS html,
-       text,
-       lang
-FROM pages"""
+       encode(concat('<html><body><p>', p.text, '</p>',
+                     coalesce(a.anch, ''), '</body></html>'),
+              'utf-8') AS html,
+       p.text,
+       p.lang
+FROM pages p
+LEFT JOIN anchors a ON a.i = p.i"""
     )
 
 

@@ -1,0 +1,117 @@
+"""Link-graph operators (operators/links.py): extraction ground truth,
+PageRank exactness, dangling-mass semantics, and the zero-exchange
+extraction plan pin."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from osm_jl_spark import datagen as G
+from osm_jl_spark.operators.links import (
+    extract_links,
+    host_in_links,
+    pagerank,
+    pagerank_scaled,
+)
+from tests.test_plans import count_nodes, explain
+
+N = 60
+
+
+def _graph(spark):
+    pages = G.load_pages(spark, N)
+    links = extract_links(pages)
+    edges = links.select(
+        F.regexp_extract("url", r"/p/([0-9]+)$", 1).cast("long").alias("src"),
+        F.regexp_extract("href", r"/d/([0-9]+)$", 1).cast("long").alias("dst"),
+    )
+    nodes = pages.select(
+        F.regexp_extract("url", r"/p/([0-9]+)$", 1).cast("long").alias("node")
+    )
+    return pages, links, edges, nodes
+
+
+def test_extract_links_matches_datagen_ground_truth(spark):
+    """The regex extractor must recover exactly the anchors load_pages
+    embedded — compared against the pages_links rule replayed in Spark
+    SQL (the same arithmetic the DuckDB oracle uses)."""
+    _, links, _, _ = _graph(spark)
+    got = sorted(
+        (r["url"], r["link_idx"], r["href"], r["dst_host"])
+        for r in links.collect()
+    )
+    truth = spark.sql(
+        f"WITH {G.pages_ctes('spark', N)} "
+        "SELECT url, link_idx, href, dst_host FROM pages_links"
+    )
+    want = sorted(
+        (r["url"], r["link_idx"], r["href"], r["dst_host"])
+        for r in truth.collect()
+    )
+    assert got == want
+    # docs have 0-2 links; the multiset is non-trivial in both dirs
+    assert len(want) > N // 2
+
+
+def test_extract_links_is_narrow_zero_exchange(spark, tmp_path):
+    """Extraction is a scan -> generate -> project narrow map: zero
+    exchanges, zero Python. One pass over the html column at 10^12
+    docs — the property that makes link analysis affordable at all.
+    Pages come from PARQUET (the production shape; the synthetic
+    generator's own group-by would pollute the plan)."""
+    path = str(tmp_path / "pages.parquet")
+    G.load_pages(spark, 20).write.parquet(path)
+    plan = explain(extract_links(spark.read.parquet(path)))
+    assert count_nodes(plan, "Exchange") == 0, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_host_in_links_counts(spark):
+    _, links, _, _ = _graph(spark)
+    census = {r["dst_host"]: (r["n_links"], r["n_src_docs"])
+              for r in host_in_links(links).collect()}
+    raw = [(r["dst_host"], r["url"]) for r in links.collect()]
+    assert sum(v[0] for v in census.values()) == len(raw)
+    for host, (n_links, n_src) in census.items():
+        mine = [u for h, u in raw if h == host]
+        assert n_links == len(mine)
+        assert n_src == len(set(mine))
+
+
+def test_pagerank_scaled_equals_float_at_damping_half(spark):
+    """pagerank_scaled is an exact integer replica of pagerank at
+    damping 1/2: rank = r_scaled / (N * 4^iters) to fp precision."""
+    _, _, edges, nodes = _graph(spark)
+    exact = {r["node"]: r["r"]
+             for r in pagerank_scaled(edges, nodes, iters=3).collect()}
+    fl = pagerank(edges, nodes, N, iters=3, damping=0.5)
+    for row in fl.collect():
+        assert abs(exact[row["node"]] / (N * 64) - row["r"]) < 1e-12
+    assert len(exact) == N
+
+
+def test_pagerank_dangling_mass_drops(spark):
+    """Docs with out-degree 0 drop their mass (documented semantics):
+    total scaled rank is strictly below the no-dangling invariant
+    N * 4^t, and every node keeps at least the teleport floor."""
+    _, _, edges, nodes = _graph(spark)
+    n_dangling = N - edges.select("src").distinct().count()
+    assert n_dangling > 0  # dh % 3 == 0 docs exist at N=60
+    rows = pagerank_scaled(edges, nodes, iters=3).collect()
+    total = sum(r["r"] for r in rows)
+    assert total < N * 64
+    # teleport floor: 2*4^2 = 32 for the last iteration
+    assert all(r["r"] >= 32 for r in rows)
+
+
+def test_pagerank_sink_accumulates(spark):
+    """A two-node chain a->b with b dangling: b's rank must exceed
+    a's (it receives a's full contribution every iteration)."""
+    edges = spark.createDataFrame([(0, 1)], "src LONG, dst LONG")
+    nodes = spark.createDataFrame([(0,), (1,)], "node LONG")
+    r = {row["node"]: row["r"]
+         for row in pagerank_scaled(edges, nodes, iters=3).collect()}
+    # by hand: R0=(1,1); R1=(2, 2+2*1)=(2,4); R2=(8, 8+2*2)=(8,12);
+    # R3=(32, 32+2*8)=(32,48)
+    assert r == {0: 32, 1: 48}

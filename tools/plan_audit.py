@@ -169,6 +169,24 @@ AUDITED = [
      "over whole-way coordinate arrays (SURVEY 2.9 rule (b) - "
      "genuinely recursive), riding the J1 regroup shuffle; no "
      "exchange added, each DP bounded by its own way's length"),
+    ("page_links", "href extraction from raw html: regexp_extract_all "
+     "+ posexplode is a pure narrow map the scan fuses - zero "
+     "exchanges, zero Python; one pass over the html column at any "
+     "corpus size (plan-pinned in tests/test_links.py)"),
+    ("host_in_links", "host-level in-link census: ONE "
+     "map-side-combinable shuffle on dst_host; the distinct-source "
+     "count expands map-side on the same key - hot hosts cost one "
+     "partial row per input partition"),
+    ("link_pagerank", "PageRank over the doc link graph: per "
+     "iteration one src-keyed join shuffle + one dst-keyed "
+     "map-side-combinable aggregation; localCheckpoint keeps the "
+     "audited (final-round) plan constant-size like bfs_hops; exact "
+     "integer scaling removes the float-oracle hazard"),
+    ("length_quantiles", "exact quantiles WITHOUT a per-group sort: "
+     "corpus rows hit one uniform (lang, length) histogram "
+     "aggregation; the cumulative window and rank selection run over "
+     "distinct lengths only - the hot `en` group never serializes "
+     "(plan-pinned in tests/test_stats.py)"),
 ]
 
 

@@ -1203,6 +1203,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_kept",
         )
 
+    def campaign_windows_q(spark, sf_dir):
+        # interval containment join (operators/temporal.py
+        # interval_join): events assigned to every overlapping
+        # synthetic campaign window via time-bucket cover + exact
+        # half-open filter — the temporal analogue of the spatial
+        # cell-cover join; the fact side never shuffles (intervals
+        # broadcast). Oracle: DuckDB's plain range-predicate join over
+        # the same arithmetic interval table — an independent
+        # formulation of the containment semantics.
+        from osm_jl_spark.functions.timeutil import epoch_sec
+        from osm_jl_spark.operators.temporal import interval_join
+
+        ev = _pq(spark, sf_dir, "events").select(
+            "event_id", epoch_sec("ts").alias("ts_s")
+        )
+        start = F.lit(1704067200) + F.col("id") * 64800
+        iv = spark.range(40).select(
+            F.col("id").alias("interval_id"),
+            start.alias("start_s"),
+            (
+                start
+                + 3600
+                * (1 + ((F.col("id") * 2654435761) % 4294967296) % 36)
+            ).alias("end_s"),
+        )
+        out = interval_join(
+            ev, iv, "ts_s", "start_s", "end_s", bucket_sec=43_200
+        )
+        return out.select("event_id", "interval_id")
+
     def length_quantiles_q(spark, sf_dir):
         # exact per-language token-length quantiles over the
         # (lang, length) HISTOGRAM (operators/stats.py): the hot `en`
@@ -1586,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_in_links": host_in_links_q,
         "link_pagerank": link_pagerank_q,
         "length_quantiles": length_quantiles_q,
+        "campaign_windows": campaign_windows_q,
         "crawl_asof": crawl_asof_q,
         "gopher_quality": gopher_quality_q,
         "blocklist_filter": blocklist_filter_q,
@@ -2810,6 +2841,25 @@ q AS (
   FROM t
 )
 SELECT id, qk FROM q WHERE substr(qk, 1, 4) = '2110'"""
+
+    # interval containment: the oracle is the NAIVE range-predicate
+    # join — an independent formulation; the engine's bucket-cover
+    # equi-join must produce exactly the same pair set
+    out["campaign_windows"] = """WITH
+iv AS (
+  SELECT range AS interval_id,
+         1704067200 + range * 64800 AS start_s,
+         1704067200 + range * 64800
+           + 3600 * (1 + ((range * 2654435761) % 4294967296) % 36)
+           AS end_s
+  FROM range(40)
+),
+ev AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+)
+SELECT ev.event_id, iv.interval_id
+FROM ev JOIN iv
+  ON ev.ts_s >= iv.start_s AND ev.ts_s < iv.end_s"""
 
     # exact discrete quantiles: independent replay of the DEFINITION
     # (smallest value whose cumulative count reaches ceil(pct*n/100))

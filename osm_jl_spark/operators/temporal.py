@@ -137,3 +137,54 @@ def asof_join(
         *[F.col(f"_c.{c}").alias(c) for c in value_cols],
         F.col("_c._ts").alias("asof_ts"),
     )
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_sec: int = 86_400,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Containment join: every (fact, interval) pair with
+    ``start <= fact.ts < end`` (half-open; all three columns are epoch
+    seconds — see functions/timeutil.epoch_sec). Overlapping intervals
+    produce one output row each.
+
+    This is the temporal analogue of the spatial cell-cover join
+    (operators/joins.py): the naive range-predicate join plans as a
+    nested loop over facts x intervals; instead each interval explodes
+    into the coarse time BUCKETS it covers and a fact equi-joins its
+    own single bucket, then the exact containment predicate filters.
+    A matching pair shares exactly one bucket (the fact's), so no
+    post-dedup is needed. Candidate pairs are bounded by interval
+    density per bucket, not |intervals|.
+
+    ``bucket_sec`` trades cover size against candidate density —
+    choose it near the typical interval length (each interval then
+    explodes into ~2 rows). ``broadcast_intervals=True`` (dimensions
+    like campaign windows, outage ranges, policy epochs): the fact
+    side NEVER shuffles. For interval tables too large to broadcast,
+    pass False and both sides shuffle on the bucket key — still
+    equi-join, never a nested loop.
+    """
+    cover = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / bucket_sec),
+                # last bucket containing a point of [start, end)
+                F.floor((F.col(end) - 1) / bucket_sec),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        cover = F.broadcast(cover)
+    f = facts.withColumn("_bkt", F.floor(F.col(ts) / bucket_sec))
+    return (
+        f.join(cover, "_bkt")
+        .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("_bkt")
+    )

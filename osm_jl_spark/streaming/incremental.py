@@ -298,3 +298,32 @@ def streaming_asof_enrich(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_host_in_links(pages_stream: DataFrame) -> DataFrame:
+    """Live form of ``operators/links.host_in_links`` over a page
+    stream: hrefs are extracted per micro-batch (the same stateless
+    zero-exchange narrow map as batch) and the per-host census is
+    maintained incrementally.
+
+    ``n_links`` is exact — one count state row per host, the same
+    state shape as ``streaming_snapshot_latest``. The distinct-source
+    count is ``approx_count_distinct`` (an HLL sketch per host):
+    EXACT streaming distinct would require one state row per
+    (host, url) PAIR — state proportional to the edge set, not the
+    host set — the wrong trade on an unbounded crawl stream. The
+    batch operator remains the exact path; the column is named
+    ``n_src_docs_approx`` so consumers cannot mistake it. The test
+    pins n_links equal to batch across micro-batch boundaries and
+    the HLL estimate inside its standard error.
+
+    Emit with ``outputMode("update")`` (changed hosts per
+    micro-batch) or ``"complete"`` for dashboard-sized host sets.
+    """
+    from osm_jl_spark.operators.links import extract_links
+
+    links = extract_links(pages_stream)
+    return links.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.approx_count_distinct("url").alias("n_src_docs_approx"),
+    )

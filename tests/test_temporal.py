@@ -138,3 +138,105 @@ def test_asof_tolerance_on_ntz_timestamps(spark):
     far = asof_join(left, right, on="k", left_ts="ts", right_ts="ts2",
                     tolerance=F.lit(9)).first()
     assert far["val"] is None      # gap 10 > 9: nulled, row kept
+
+
+# ---------------------------------------------------------------------
+# interval containment join
+
+
+def _iv(spark):
+    import pyspark.sql.functions as F
+
+    return spark.range(25).select(
+        F.col("id").alias("interval_id"),
+        (F.col("id") * 700).alias("start_s"),
+        (
+            F.col("id") * 700 + 100 + ((F.col("id") * 2654435761) % 2000)
+        ).alias("end_s"),
+    )
+
+
+def _facts(spark, n=3000):
+    import pyspark.sql.functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 48271) % 20000).alias("ts_s"),
+    )
+
+
+def test_interval_join_equals_naive_range_join(spark):
+    from osm_jl_spark.operators.temporal import interval_join
+
+    facts, iv = _facts(spark), _iv(spark)
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in interval_join(
+            facts, iv, "ts_s", "start_s", "end_s", bucket_sec=500
+        ).collect()
+    }
+    naive = {
+        (r["event_id"], r["interval_id"])
+        for r in facts.crossJoin(iv)
+        .where("ts_s >= start_s AND ts_s < end_s")
+        .collect()
+    }
+    assert got == naive and len(got) > 100
+    # no duplicate pairs: each match shares exactly one bucket
+    rows = interval_join(
+        facts, iv, "ts_s", "start_s", "end_s", bucket_sec=500
+    ).count()
+    assert rows == len(got)
+
+
+def test_interval_join_half_open_boundaries(spark):
+    from osm_jl_spark.operators.temporal import interval_join
+
+    facts = spark.createDataFrame(
+        [(1, 100), (2, 199), (3, 200), (4, 99)],
+        "event_id LONG, ts_s LONG",
+    )
+    iv = spark.createDataFrame(
+        [(7, 100, 200)], "interval_id LONG, start_s LONG, end_s LONG"
+    )
+    got = {
+        r["event_id"]
+        for r in interval_join(
+            facts, iv, "ts_s", "start_s", "end_s", bucket_sec=64
+        ).collect()
+    }
+    assert got == {1, 2}  # start inclusive, end exclusive
+
+
+def test_interval_join_bucket_size_invariant(spark):
+    from osm_jl_spark.operators.temporal import interval_join
+
+    facts, iv = _facts(spark, 800), _iv(spark)
+    ref = None
+    for b in (64, 500, 7919, 100_000):
+        got = sorted(
+            (r["event_id"], r["interval_id"])
+            for r in interval_join(
+                facts, iv, "ts_s", "start_s", "end_s", bucket_sec=b
+            ).collect()
+        )
+        if ref is None:
+            ref = got
+        assert got == ref, b
+
+
+def test_interval_join_fact_side_never_shuffles(spark, tmp_path):
+    from osm_jl_spark.operators.temporal import interval_join
+    from tests.test_plans import count_nodes, explain
+
+    path = str(tmp_path / "facts.parquet")
+    _facts(spark).write.parquet(path)
+    facts = spark.read.parquet(path)
+    plan = explain(
+        interval_join(facts, _iv(spark), "ts_s", "start_s", "end_s")
+    )
+    # broadcast dimension: zero shuffle exchanges anywhere; the only
+    # exchange is the BroadcastExchange of the exploded cover
+    assert count_nodes(plan, "Exchange") == 0, plan
+    assert "BroadcastExchange" in plan
+    assert "NestedLoop" not in plan, plan

@@ -187,6 +187,11 @@ AUDITED = [
      "aggregation; the cumulative window and rank selection run over "
      "distinct lengths only - the hot `en` group never serializes "
      "(plan-pinned in tests/test_stats.py)"),
+    ("campaign_windows", "interval containment via time-bucket cover: "
+     "intervals explode into coarse buckets and BROADCAST; facts "
+     "equi-join their own single bucket (exact-once, no dedup) - "
+     "zero fact shuffles, never a NestedLoopJoin, candidate pairs "
+     "bounded by interval density per bucket"),
 ]
 
 

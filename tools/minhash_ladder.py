@@ -29,7 +29,7 @@ SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/osm_jl_spark_bench")
 
 
 def rung(spark, n_docs: int) -> tuple[float, int]:
-    path = os.path.join(SCRATCH, f"pages_{n_docs}.parquet")
+    path = os.path.join(SCRATCH, f"pages_v{G.PAGES_CACHE_VERSION}_{n_docs}.parquet")
     if not os.path.exists(path):
         os.makedirs(SCRATCH, exist_ok=True)
         G.load_pages(spark, n_docs).write.mode("overwrite").parquet(path)

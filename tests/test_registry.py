@@ -1,0 +1,46 @@
+"""Registry meta-pins: every registered query stays oracle-checked.
+
+The driver's correctness gate only exercises (queries() ∩ oracle_sql())
+— a query that silently loses its oracle entry degrades to a weak
+rows-only check without any test failing. This pins the contract:
+the ONLY rows-only queries are the two that are approximate BY DESIGN,
+each with its invariant checked elsewhere (ivf_knn via
+ivf_knn_exhaustive's no-loss oracle; approx_domains via the pinned
+HLL error bound in tests/test_web.py)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry  # noqa: E402
+
+ROWS_ONLY_BY_DESIGN = {"ivf_knn", "approx_domains"}
+
+
+def test_every_query_has_an_oracle_or_is_declared_approximate():
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    missing = qs - oracles
+    assert missing == ROWS_ONLY_BY_DESIGN, (
+        f"queries without oracle_sql: {sorted(missing)}"
+    )
+
+
+def test_no_orphan_oracles():
+    qs = set(entry.queries())
+    orphans = set(entry.oracle_sql()) - qs
+    assert not orphans, f"oracle_sql keys with no query: {sorted(orphans)}"
+
+
+def test_registry_is_large_and_ordered():
+    """The driver checks a ~50-entry PREFIX in insertion order — the
+    dict must stay ordered (guaranteed by Python, pinned here against
+    a refactor to an unordered mapping) and the prefix must lead with
+    the newest queries (round-4 head pinned)."""
+    keys = list(entry.queries())
+    assert len(keys) >= 92
+    assert keys[0] == "page_links"
+    assert "campaign_windows" in keys[:5]

@@ -1233,6 +1233,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("event_id", "interval_id")
 
+    def indegree_quantiles_q(spark, sf_dir):
+        # composite: link extraction -> per-target-doc in-degree
+        # (0 for never-linked docs) -> exact histogram quantiles per
+        # TARGET-doc language, all one Catalyst plan through two new
+        # operator families. Oracle replays it from the arithmetic
+        # pages_links rule + the histogram definition — independent of
+        # both the extractor and the quantile operator.
+        from osm_jl_spark.operators.links import extract_links
+        from osm_jl_spark.operators.stats import group_quantiles_exact
+
+        pages = _pages(spark, sf_dir)
+        links = extract_links(pages)
+        indeg = links.select(
+            F.regexp_extract("href", r"/d/([0-9]+)$", 1)
+            .cast("long").alias("doc_id")
+        ).groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg"))
+        docs = pages.select(
+            F.regexp_extract("url", r"/p/([0-9]+)$", 1)
+            .cast("long").alias("doc_id"),
+            "lang",
+        )
+        deg = docs.join(indeg, "doc_id", "left").select(
+            "lang", F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
+        )
+        out = group_quantiles_exact(deg, "lang", "deg", [25, 50, 90, 99])
+        return out.select("lang", "pct", F.col("q").cast("long").alias("q"))
+
     def length_quantiles_q(spark, sf_dir):
         # exact per-language token-length quantiles over the
         # (lang, length) HISTOGRAM (operators/stats.py): the hot `en`
@@ -1604,10 +1631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the driver's correctness check walks
     # this dict in insertion order and has covered only a ~50-entry
     # prefix each round (r1: 48, r2/r3: exactly the first 50). Round-4
-    # order: the 21 never-driver-checked round-4 queries lead (the 5
+    # order: the 22 never-driver-checked round-4 queries lead (the 6
     # newest first), then the 21 queries the r3 prefix skipped (newest
     # driver evidence = CORRECTNESS_r02, expensive iterative ones
-    # first) — 42 entries, all inside the prefix. The r3-green
+    # first) — 43 entries, all inside the prefix. The r3-green
     # remainder follows; everything that falls out of the r4 prefix
     # carries a CORRECTNESS_r03 green row (1 round old).
     return {
@@ -1617,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": link_pagerank_q,
         "length_quantiles": length_quantiles_q,
         "campaign_windows": campaign_windows_q,
+        "indegree_quantiles": indegree_quantiles_q,
         "crawl_asof": crawl_asof_q,
         "gopher_quality": gopher_quality_q,
         "blocklist_filter": blocklist_filter_q,
@@ -1740,6 +1768,34 @@ SELECT dst_host,
        count(DISTINCT url) AS n_src_docs
 FROM pages_links
 GROUP BY dst_host"""
+
+    # composite replay: arithmetic links -> in-degree (0 for unlinked
+    # docs, lang from the target doc's dh) -> the same histogram
+    # quantile definition as length_quantiles
+    out["indegree_quantiles"] = f"""WITH {pages},
+indeg AS (
+  SELECT dst AS doc_id, count(*) AS deg FROM pages_links GROUP BY dst
+),
+d AS (
+  SELECT CASE pd.dh % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'no' ELSE 'pt' END
+           AS lang,
+         coalesce(ig.deg, 0) AS deg
+  FROM pages_docs pd LEFT JOIN indeg ig ON ig.doc_id = pd.i
+),
+h AS (SELECT lang, deg, count(*) AS cnt FROM d GROUP BY lang, deg),
+c AS (
+  SELECT lang, deg, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY deg) AS cum
+  FROM h
+),
+n AS (SELECT lang, sum(cnt) AS n FROM h GROUP BY lang),
+pp AS (SELECT unnest([25, 50, 90, 99]) AS pct)
+SELECT c.lang, pp.pct, CAST(min(c.deg) AS BIGINT) AS q
+FROM c
+JOIN n USING (lang)
+CROSS JOIN pp
+WHERE c.cum * 100 >= pp.pct * n.n
+GROUP BY c.lang, pp.pct"""
 
     # exact integer-scaled PageRank (damping 1/2, R = rank * N * 4^t):
     # three unrolled iterations of R_{{t+1}}(v) = 2*4^t +

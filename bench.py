@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "link_pagerank",
     "length_quantiles",
     "campaign_windows",
+    "indegree_quantiles",
     "gopher_quality",
     "blocklist_filter",
     "tpch_q5",

@@ -187,6 +187,11 @@ AUDITED = [
      "aggregation; the cumulative window and rank selection run over "
      "distinct lengths only - the hot `en` group never serializes "
      "(plan-pinned in tests/test_stats.py)"),
+    ("indegree_quantiles", "composite through both new families: "
+     "zero-exchange link extraction feeds the in-degree aggregation "
+     "(uniform doc-id key), a left join restores unlinked docs, and "
+     "the quantile histogram keeps the hot `en` group off any "
+     "single-task sort - one Catalyst plan end to end"),
     ("campaign_windows", "interval containment via time-bucket cover: "
      "intervals explode into coarse buckets and BROADCAST; facts "
      "equi-join their own single bucket (exact-once, no dedup) - "

@@ -153,12 +153,29 @@ def pagerank_scaled(
     shuffles, same dangling-mass-drop semantics — only the number
     representation differs). Magnitudes: sum of R_t <= N * 4^t, far
     under 2^63 at any registered scale.
+
+    The divides-2 precondition is ENFORCED, not assumed: a node with
+    out-degree > 2 would need the non-integer coefficient 2/deg, so
+    the coef expression raises at execution time instead of emitting
+    plausible-looking wrong integers. General graphs belong to
+    :func:`pagerank` (float ranks).
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e = edges.join(deg, "src").withColumn(
         "coef",
         F.when(F.col("deg") == 1, F.lit(2))
-        .otherwise(F.lit(1))
+        .when(F.col("deg") == 2, F.lit(1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pagerank_scaled requires out-degree <= 2 "
+                        "(2/deg must be an integer); got deg="
+                    ),
+                    F.col("deg").cast("string"),
+                )
+            ).cast("long")
+        )
         .cast("long"),
     )
     r = nodes.select(

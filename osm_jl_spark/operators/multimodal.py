@@ -60,16 +60,22 @@ def decode_and_featurize(
                 w = int(meta["width"] or 16)
                 h = int(meta["height"] or 16)
                 img = _fake_decode_image(bytes(payload), w, h)
-                # block-mean resize to (oh, ow)
+                # block-mean resize to (oh, ow): one reduceat per axis
+                # — no Python-level pixel loops. reduceat's repeated-
+                # index rule (indices[i] == indices[i+1] yields the
+                # single element a[indices[i]]) matches the at-least-
+                # one-pixel block guard, and the count divisor mirrors
+                # it with maximum(diff, 1).
                 ys = np.linspace(0, h, oh + 1).astype(int)
                 xs = np.linspace(0, w, ow + 1).astype(int)
-                out = np.empty((oh, ow))
-                for i in range(oh):
-                    for j in range(ow):
-                        blk = img[ys[i]:max(ys[i + 1], ys[i] + 1),
-                                  xs[j]:max(xs[j + 1], xs[j] + 1)]
-                        out[i, j] = float(blk.mean())
-                feats.append(out.ravel().tolist())
+                out = np.add.reduceat(
+                    np.add.reduceat(img, ys[:-1], axis=0), xs[:-1], axis=1
+                )
+                cnt = (
+                    np.maximum(np.diff(ys), 1)[:, None]
+                    * np.maximum(np.diff(xs), 1)[None, :]
+                )
+                feats.append((out / cnt).ravel().tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

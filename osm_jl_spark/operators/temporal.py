@@ -59,9 +59,10 @@ def asof_join(
       nulled out AFTER the scan, DuckDB/pandas ``merge_asof``
       tolerance semantics.
 
-    NULL ``left_ts`` rows sort first (Spark NULLS FIRST) so they carry
-    no snapshot in backward mode — they surface with NULL payload
-    rather than being dropped.
+    NULL ``left_ts`` rows carry no snapshot in EITHER direction — they
+    surface with NULL payload rather than being dropped (backward:
+    Spark's asc NULLS FIRST; forward: explicit desc_nulls_first —
+    both place NULL-ts left rows before every right row in the scan).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
@@ -102,7 +103,11 @@ def asof_join(
     if direction == "backward":
         order = [F.col("_t").asc(), F.col("_side").asc()]
     else:
-        order = [F.col("_t").desc_nulls_last(), F.col("_side").asc()]
+        # nulls FIRST, not last: a NULL-ts left row must precede every
+        # right row so it carries nothing (NULL payload) — symmetric
+        # with backward's asc-nulls-first; desc_nulls_last would make
+        # it inherit the smallest-ts snapshot, a spurious match.
+        order = [F.col("_t").desc_nulls_first(), F.col("_side").asc()]
     w = (
         Window.partitionBy("_k")
         .orderBy(*order)

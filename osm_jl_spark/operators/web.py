@@ -122,12 +122,18 @@ def blocklist_filter(
     blocklist: DataFrame,
     host_col: str = "host",
     keyword_rules: list[tuple[str, Column]] | None = None,
+    reason_col: str = "reason",
 ) -> DataFrame:
     """Domain allow/deny filtering — the step a crawl pipeline runs
     right after ``domain_stats`` decides which hosts to drop. Emits
     every input row with ``block_reason`` (NULL = clean) and ``keep``;
     host-level blocks take precedence over content ``keyword_rules``
     (ordered (reason, predicate) pairs, first match wins).
+
+    ``blocklist`` schema: ``(<host_col>: string, <reason_col>:
+    string)`` — one row per blocked host, reason free-text. A missing
+    reason column fails fast here with the expected schema rather
+    than as an opaque analysis error inside the join.
 
     Plan: the blocklist is a dimension table — thousands-to-millions
     of hosts vs 10^12 pages — so it is explicitly ``F.broadcast`` LEFT
@@ -136,12 +142,18 @@ def blocklist_filter(
     (site-level URL prefixes at CommonCrawl scale) would bucket both
     sides on host instead; the operator's contract doesn't change.
     """
+    missing = {host_col, reason_col} - set(blocklist.columns)
+    if missing:
+        raise ValueError(
+            f"blocklist is missing column(s) {sorted(missing)}; "
+            f"expected schema ({host_col}: string, {reason_col}: string)"
+        )
     # a host listed twice (two reasons) must not FAN OUT fact rows —
     # the operator's contract is row-preserving. Collapse the
     # dimension to one deterministic reason per host (min = first
     # alphabetically) before the join.
     bl = blocklist.groupBy(F.col(host_col).alias("_bl_host")).agg(
-        F.min("reason").alias("_bl_reason")
+        F.min(reason_col).alias("_bl_reason")
     )
     joined = docs.join(
         F.broadcast(bl),

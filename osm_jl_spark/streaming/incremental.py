@@ -247,7 +247,10 @@ def streaming_asof_enrich(
     import pandas as pd  # noqa: PLC0415 (worker-side import)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_cols = ["url", "cap_epoch", "cap_id", "policy_epoch",
+    # the key output column is named after the join key (``on``), not
+    # hardcoded — a caller keying on e.g. ``host`` gets a ``host``
+    # column back. The key is carried as STRING (the crawl-key shape).
+    out_cols = [on, "cap_epoch", "cap_id", "policy_epoch",
                 "policy_val"]
 
     caps = captures.select(
@@ -266,9 +269,15 @@ def streaming_asof_enrich(
     def fold(key, pdf_iter, state: GroupState):
         rows: list[tuple[int, int, int]] = []
         for pdf in pdf_iter:
+            # NULL event-time rows are dropped, not crashed on:
+            # pd.notna guards the int() conversion (a NULL ts has no
+            # position in an event-time scan; the batch operator's
+            # NULL-payload convention needs an order, a stream fold
+            # does not have one for them).
             rows.extend(
                 (int(s), int(sd), int(v))
                 for s, sd, v in zip(pdf["sec"], pdf["side"], pdf["val"])
+                if pd.notna(s) and pd.notna(v)
             )
         rows.sort()  # (sec, side): policy (0) before capture (1) at ties
         if state.exists:
@@ -291,7 +300,7 @@ def streaming_asof_enrich(
     return caps.unionByName(pols).groupBy("k").applyInPandasWithState(
         fold,
         outputStructType=(
-            "url STRING, cap_epoch BIGINT, cap_id BIGINT, "
+            f"{on} STRING, cap_epoch BIGINT, cap_id BIGINT, "
             "policy_epoch BIGINT, policy_val BIGINT"
         ),
         stateStructType="pol_epoch BIGINT, pol_val BIGINT",

@@ -115,3 +115,19 @@ def test_pagerank_sink_accumulates(spark):
     # by hand: R0=(1,1); R1=(2, 2+2*1)=(2,4); R2=(8, 8+2*2)=(8,12);
     # R3=(32, 32+2*8)=(32,48)
     assert r == {0: 32, 1: 48}
+
+
+def test_pagerank_scaled_rejects_outdegree_over_two(spark):
+    """The divides-2 precondition is enforced at execution: deg >= 3
+    needs coefficient 2/deg (non-integer), so the coef expression
+    raises instead of producing plausible wrong integers."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src BIGINT, dst BIGINT"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 5)], "node BIGINT"
+    )
+    with pytest.raises(Exception, match="out-degree"):
+        pagerank_scaled(edges, nodes, iters=1).collect()

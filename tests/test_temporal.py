@@ -240,3 +240,22 @@ def test_interval_join_fact_side_never_shuffles(spark, tmp_path):
     assert count_nodes(plan, "Exchange") == 0, plan
     assert "BroadcastExchange" in plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_forward_null_left_ts_carries_nothing(spark):
+    """A NULL-ts capture must get a NULL payload in forward mode too
+    (desc_nulls_first): with nulls sorted last it would spuriously
+    inherit the smallest-ts snapshot."""
+    caps = spark.createDataFrame(
+        [("a", None), ("a", 5)], "url STRING, ts BIGINT"
+    )
+    pol = spark.createDataFrame(
+        [("a", 10, 100)], "url STRING, pts BIGINT, rule BIGINT"
+    )
+    out = asof_join(
+        caps, pol, on="url", left_ts="ts", right_ts="pts",
+        direction="forward",
+    )
+    got = {r["ts"]: (r["rule"], r["asof_ts"]) for r in out.collect()}
+    assert got[None] == (None, None)
+    assert got[5] == (100, 10)

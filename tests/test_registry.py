@@ -39,8 +39,12 @@ def test_registry_is_large_and_ordered():
     """The driver checks a ~50-entry PREFIX in insertion order — the
     dict must stay ordered (guaranteed by Python, pinned here against
     a refactor to an unordered mapping) and the prefix must lead with
-    the newest queries (round-4 head pinned)."""
+    the newest queries (round-5 head pinned: the two new queries,
+    then the 43-query r3-evidence tail rotated to the front)."""
     keys = list(entry.queries())
-    assert len(keys) >= 92
-    assert keys[0] == "page_links"
-    assert "campaign_windows" in keys[:5]
+    assert len(keys) >= 94
+    assert keys[0] == "lm_perplexity_filter"
+    assert keys[1] == "tile_serving"
+    # the rotated r3 tail fits entirely inside the 50-entry prefix
+    assert "osm_xml_file_parse" in keys[:50]
+    assert "pip_polygons" in keys[:50]

@@ -132,3 +132,39 @@ def test_tile_read_prunes_and_pushes(spark, qk_store):
     assert any("StartsWith(qk,2110)" in p for p in pushed), plan
     assert count_nodes(plan, "Exchange") == 0
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tile_serving_rollup_composes_with_pruned_read(spark, qk_store):
+    """The serving composite (read_points_tile -> quadkey_rollup) is
+    ONE plan: the pruned scan's PartitionFilters/StringStartsWith
+    survive under the rollup, there are exactly the rollup's two
+    uniform exchanges (salted partial agg + final agg) and nothing
+    else — zero exchanges before the partial aggregation — and zero
+    Python. Values: every zoom level's counts sum to the subtree row
+    count, and each tile_qk is a prefix-of-'2110'-extension."""
+    from osm_jl_spark.operators.tiling import quadkey_rollup
+    from osm_jl_spark.sources.store import read_points_tile
+
+    served = read_points_tile(spark, qk_store, "2110", 2)
+    out = quadkey_rollup(served, [4, 6, 8, 12])
+
+    plan = explain(out)
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("qk_stripe" in p for p in pf), plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("StartsWith(qk,2110)" in p for p in pushed), plan
+    assert count_nodes(plan, "Exchange") == 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    n = served.count()
+    rows = out.collect()
+    by_zoom = {}
+    for r in rows:
+        assert r["tile_qk"].startswith("2110"[: min(4, r["zoom"])]), r
+        assert len(r["tile_qk"]) == r["zoom"], r
+        by_zoom.setdefault(r["zoom"], 0)
+        by_zoom[r["zoom"]] += r["n_points"]
+    assert by_zoom == {4: n, 6: n, 8: n, 12: n}
+    # z4 is exactly the requested tile, one row
+    assert sum(1 for r in rows if r["zoom"] == 4) == 1

@@ -3,6 +3,14 @@
 sf0.01, compare row count, column names, and order-insensitive values.
 
 Usage: python tools/check_correctness.py [name ...]
+       python tools/check_correctness.py --stale [--prefix N]
+
+``--stale`` runs no queries: it diffs the ``queries()`` registration
+order against the recorded CORRECTNESS_r*.json driver artifacts and
+reports every query whose driver evidence would be >= 2 rounds old
+AFTER the upcoming round checks the first ``--prefix`` (default 50)
+registry entries — the rotation bookkeeping VERDICT r3/r4 did by hand.
+Exit code 1 if any query is projected stale.
 """
 
 from __future__ import annotations
@@ -17,6 +25,37 @@ import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from osm_jl_spark.session import get_spark  # noqa: E402
+
+
+def stale_report(prefix_len: int) -> int:
+    import glob
+    import json
+    import re
+
+    newest: dict[str, int] = {}
+    latest_round = 0
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        latest_round = max(latest_round, rnd)
+        for name in json.load(open(path)):
+            newest[name] = max(newest.get(name, 0), rnd)
+    names = list(entrymod.queries())
+    upcoming = set(names[:prefix_len])
+    stale = []
+    for pos, name in enumerate(names):
+        if name in upcoming:
+            continue  # refreshed by the next driver run
+        seen = newest.get(name)
+        if seen is None or (latest_round + 1) - seen >= 2:
+            stale.append((pos, name, seen))
+    for pos, name, seen in stale:
+        ev = f"r{seen}" if seen else "never checked"
+        print(f"STALE {name} (registry position {pos}, newest driver "
+              f"evidence: {ev})")
+    print(f"\n{len(stale)} stale of {len(names)} registered "
+          f"(latest artifact: r{latest_round}, upcoming prefix: "
+          f"{prefix_len})")
+    return 1 if stale else 0
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = [
@@ -44,6 +83,11 @@ def rows_key(rows, cols):
 
 
 def main():
+    if "--stale" in sys.argv:
+        args = sys.argv[1:]
+        n = int(args[args.index("--prefix") + 1]) if "--prefix" in args \
+            else 50
+        return stale_report(n)
     only = set(sys.argv[1:])
     spark = get_spark(cores=16)
     con = duckdb.connect()

@@ -387,6 +387,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "zoom", "tile_qk", "n_points"
         )
 
+    def radius_join_q(spark, sf_dir):
+        # all-pairs-within-d spatial join (operators/joins.py:
+        # within_distance_join): every (center, node) pair with planar
+        # integer distance^2 <= 300^2 micro-degree units. Centers are
+        # the id % 997 == 0 nodes (a ~m/1000-row dimension) — they
+        # explode into 3x3 radius-width cell rings and BROADCAST; the
+        # node side computes one cell and never shuffles. The exact
+        # BIGINT predicate makes the oracle (the naive cross-product
+        # distance filter over the same generator integers) hash-exact
+        # with zero float hazard.
+        nodes = _nodes(spark, sf_dir).select("id", "lon", "lat")
+        centers = nodes.filter(F.col("id") % 997 == 0)
+        return J.within_distance_join(nodes, centers, 300)
+
     def window_dup_stats_q(spark, sf_dir):
         # exact-substring duplication profile (operators/dedup.py:
         # duplicated_window_stats, Lee et al. 2022 window granularity).
@@ -1698,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round, never driver-checked
         "lm_perplexity_filter": lm_perplexity_q,
         "tile_serving": tile_serving_q,
+        "radius_join": radius_join_q,
         # -- r3-green tail the r4 prefix skipped, cheapest first
         "events_top3": events_top3_q,
         "events_sessionize": events_sessionize_q,
@@ -3067,6 +3082,21 @@ SELECT z.zoom, substr(served.qk, 1, z.zoom) AS tile_qk,
        count(*) AS n_points
 FROM served CROSS JOIN z
 GROUP BY z.zoom, substr(served.qk, 1, z.zoom)"""
+
+    # radius join: the oracle is the NAIVE cross-product distance
+    # filter over the generator's own integer micro-degree coordinates
+    # (nodes_coord.lon_u/lat_u — no double recovery needed on this
+    # side); the engine's broadcast cell-ring cover must produce
+    # exactly the same pair set and the identical BIGINT d2
+    out["radius_join"] = f"""WITH {nodes},
+pts AS (SELECT id, lon_u, lat_u FROM nodes_coord),
+ctr AS (SELECT id, lon_u, lat_u FROM nodes_coord WHERE id % 997 = 0)
+SELECT c.id AS center_id, p.id AS point_id,
+       CAST((p.lon_u - c.lon_u) * (p.lon_u - c.lon_u)
+          + (p.lat_u - c.lat_u) * (p.lat_u - c.lat_u) AS BIGINT) AS d2
+FROM pts p JOIN ctr c
+  ON (p.lon_u - c.lon_u) * (p.lon_u - c.lon_u)
+     + (p.lat_u - c.lat_u) * (p.lat_u - c.lat_u) <= 90000"""
 
     # interval containment: the oracle is the NAIVE range-predicate
     # join — an independent formulation; the engine's bucket-cover

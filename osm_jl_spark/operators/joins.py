@@ -381,3 +381,94 @@ def extract_bbox(
         inside.select(F.col("id").alias("ref")), "ref", "left_semi"
     ).select(F.col("way_id").alias("id")).distinct()
     return inside, ways.join(hit, "id", "left_semi")
+
+
+def _micro(col: str | F.Column) -> F.Column:
+    """Recover the EXACT integer micro-degree coordinate from the
+    stored double: datagen materializes lon = lon_u / 1e5 (one IEEE
+    division of an integer), and round(lon * 1e5) inverts it exactly
+    for |u| < 2^53-scale in any IEEE engine — Spark and DuckDB execute
+    the identical two ops on the identical stored double, so both
+    recover the identical BIGINT (pinned in tests/test_distance_join.py
+    against the generator's own integers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(100000.0)).cast("long")
+
+
+def within_distance_join(
+    points: DataFrame,
+    centers: DataFrame,
+    radius_u: int,
+    point_id: str = "id",
+    center_id: str = "center_id",
+) -> DataFrame:
+    """Radius (distance) join: every (center, point) pair with planar
+    integer distance² ≤ radius_u² in micro-degree units — the
+    all-pairs-within-d companion to the kNN ring join (operators/
+    knn.py), extending the reference's single-cell getindex
+    (/root/reference/src/index.jl:55-58) the same way knn_join does.
+
+    Semantics: PLANAR distance on the integer micro-degree grid, so
+    the predicate ``dx² + dy² ≤ r²`` is pure BIGINT arithmetic —
+    hash-exact across engines (a geodesic variant would swap the final
+    filter for haversine and lose oracle bit-parity at the boundary;
+    at city radii the planar form is the standard web-mercator-style
+    approximation). Returns (center_id, point_id, d2).
+
+    Scale shape (the 10^12-point design):
+    - the CENTER side is the dimension: each center explodes into the
+      3×3 ring of radius-width cells covering its disk (cell width =
+      radius_u ⇒ any point within r of the center lies in cell ± 1 on
+      both axes) and BROADCASTS — 9 rows per center;
+    - the point side computes its own single cell (floor division via
+      pmod, exact for negatives) and hash-joins the broadcast: the
+      fact table NEVER shuffles, exactly like the polygon cell-cover
+      join (nodes_in_polygons above);
+    - candidates are bounded by points-per-cell × centers-per-ring;
+      a dense urban cell costs its own density only (no global skew
+      key), and the exact integer filter runs inside the same codegen
+      stage. Zero exchanges on the fact side, zero Python.
+    """
+    if radius_u <= 0:
+        raise ValueError(f"radius_u must be positive, got {radius_u}")
+    w = int(radius_u)  # cell width = radius: ring halfwidth 1 suffices
+
+    def fdiv(col: F.Column) -> F.Column:
+        # exact floor division for signed integers: (x - pmod(x, w))/w
+        return ((col - F.pmod(col, F.lit(w))) / F.lit(w)).cast("long")
+
+    off = F.explode(
+        F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    )
+    cdim = (
+        centers.select(
+            F.col(point_id).alias(center_id),
+            _micro("lon").alias("_cx_u"),
+            _micro("lat").alias("_cy_u"),
+        )
+        .withColumn("_dx", off)
+        .withColumn("_dy", off)
+        .select(
+            center_id, "_cx_u", "_cy_u",
+            (fdiv(F.col("_cx_u")) + F.col("_dx")).alias("_gx"),
+            (fdiv(F.col("_cy_u")) + F.col("_dy")).alias("_gy"),
+        )
+    )
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        _micro("lon").alias("_px_u"),
+        _micro("lat").alias("_py_u"),
+    ).select(
+        "point_id", "_px_u", "_py_u",
+        fdiv(F.col("_px_u")).alias("_gx"),
+        fdiv(F.col("_py_u")).alias("_gy"),
+    )
+    d2 = (
+        (F.col("_px_u") - F.col("_cx_u")) * (F.col("_px_u") - F.col("_cx_u"))
+        + (F.col("_py_u") - F.col("_cy_u")) * (F.col("_py_u") - F.col("_cy_u"))
+    )
+    return (
+        pts.join(F.broadcast(cdim), ["_gx", "_gy"])
+        .select(center_id, "point_id", d2.alias("d2"))
+        .where(F.col("d2") <= F.lit(int(radius_u) ** 2))
+    )

@@ -197,6 +197,23 @@ AUDITED = [
      "equi-join their own single bucket (exact-once, no dedup) - "
      "zero fact shuffles, never a NestedLoopJoin, candidate pairs "
      "bounded by interval density per bucket"),
+    ("radius_join", "all-pairs-within-d spatial join: centers explode "
+     "into 3x3 radius-width cell rings and BROADCAST; the point side "
+     "computes one cell in codegen and never shuffles (zero "
+     "exchanges); the distance predicate is exact BIGINT arithmetic "
+     "in the same stage - the polygon cell-cover join's shape applied "
+     "to distance (pinned in tests/test_distance_join.py)"),
+    ("lm_perplexity_filter", "CCNet-style trigram-LM scoring: the LM "
+     "is a pruned DIMENSION - trigram/context/vocab counts broadcast, "
+     "so the corpus-sized token stream joins without shuffling and "
+     "aggregates once per doc; band thresholds (two longs per lang) "
+     "broadcast back; no SortMergeJoin anywhere, integer surprisal "
+     "keeps every expression in codegen (pinned in tests/test_lm.py)"),
+    ("tile_serving", "the serving composite: stripe PartitionFilters + "
+     "StringStartsWith(qk) pushdown survive UNDER the multi-zoom "
+     "rollup; quadkey parents are substrings so no re-encode; exactly "
+     "the rollup's two uniform exchanges (salted partial agg + final "
+     "sum), zero before the partial agg (pinned in tests/test_store.py)"),
 ]
 
 

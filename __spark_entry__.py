@@ -387,6 +387,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "zoom", "tile_qk", "n_points"
         )
 
+    def semdedup_q(spark, sf_dir):
+        # SemDeDup-style cluster-bounded semantic dedup
+        # (operators/similarity.py:semdedup): medoid centroids (the
+        # stored vectors of ids % 125 == 0, originals only), assignment
+        # by exact L2 argmin, near-dup pair search ONLY inside each
+        # cluster, keep = lowest id of every duplicate group. The
+        # corpus is the id-shifted union (copies at +10000 are exact
+        # dups, cosine == 1 bit-for-bit) so the keep policy has real
+        # work. Every distance/cosine is a LEFT-TO-RIGHT F.aggregate
+        # fold that the DuckDB oracle replays bit-exactly with
+        # list_reduce over the identical stored doubles — assignment,
+        # pair search, and keep all hash-exact, no rounding anywhere.
+        emb = _pq(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        emb2 = emb.select("vec_id", "embedding").unionByName(
+            emb.select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        )
+        centers = emb.where(F.col("vec_id") % 125 == 0)
+        return S.semdedup(emb2, centroids=centers).select(
+            "id", "cluster", "keep"
+        )
+
     def radius_join_q(spark, sf_dir):
         # all-pairs-within-d spatial join (operators/joins.py:
         # within_distance_join): every (center, node) pair with planar
@@ -1713,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_filter": lm_perplexity_q,
         "tile_serving": tile_serving_q,
         "radius_join": radius_join_q,
+        "semdedup_clusters": semdedup_q,
         # -- r3-green tail the r4 prefix skipped, cheapest first
         "events_top3": events_top3_q,
         "events_sessionize": events_sessionize_q,
@@ -3428,6 +3454,58 @@ FROM sims x JOIN sims y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 3"""
 
     # ------------------------------- embedding near-dups (brute force)
+    # SemDeDup replay: every distance and cosine is the SAME
+    # left-to-right fold as the Spark plan (list_reduce == F.aggregate
+    # element order; 0.0 + x1 == x1 exactly, so the missing init is
+    # immaterial) over the identical stored doubles — assignment
+    # argmin (d2, cid), intra-cluster pair search, and the
+    # lowest-id-survives keep policy are all bit-exact by construction
+    out["semdedup_clusters"] = """WITH
+e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id % 125 = 0
+),
+d AS (
+  SELECT e.id, c.cid,
+         list_reduce(list_transform(list_zip(e.v, c.cv),
+           z -> (z[1] - z[2]) * (z[1] - z[2])),
+           (acc, x) -> acc + x) AS d2
+  FROM e CROSS JOIN c
+),
+a AS (
+  SELECT id, cid AS cluster FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+av AS (SELECT a.id, a.cluster, e.v FROM a JOIN e USING (id)),
+drp AS (
+  SELECT DISTINCT y.id AS id_b
+  FROM av x JOIN av y ON x.cluster = y.cluster AND x.id < y.id
+  WHERE list_reduce(list_transform(list_zip(x.v, y.v),
+          z -> z[1] * z[2]), (acc, w) -> acc + w)
+        / (CASE WHEN
+            sqrt(list_reduce(list_transform(list_zip(x.v, x.v),
+              z -> z[1] * z[2]), (acc, w) -> acc + w))
+          * sqrt(list_reduce(list_transform(list_zip(y.v, y.v),
+              z -> z[1] * z[2]), (acc, w) -> acc + w)) = 0 THEN 1
+           ELSE
+            sqrt(list_reduce(list_transform(list_zip(x.v, x.v),
+              z -> z[1] * z[2]), (acc, w) -> acc + w))
+          * sqrt(list_reduce(list_transform(list_zip(y.v, y.v),
+              z -> z[1] * z[2]), (acc, w) -> acc + w)) END)
+        >= 0.95
+)
+SELECT av.id, av.cluster,
+       av.id NOT IN (SELECT id_b FROM drp) AS keep
+FROM av"""
+
     out["embedding_near_dups"] = """WITH
 e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "quadkey_tiles",
     "way_lengths",
     "tile_store_read",
+    "tile_serving",
+    "radius_join",
     "crawl_asof",
     "page_links",
     "host_in_links",

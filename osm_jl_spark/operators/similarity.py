@@ -219,3 +219,96 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroid_step: int = 125,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, then search for near-duplicate pairs ONLY inside
+    each cluster — the clustering bounds the otherwise-quadratic pair
+    search, which is the whole point of the method at corpus scale.
+    Returns (id, cluster, keep): ``cluster`` is the assigned medoid's
+    id, ``keep`` = false iff SOME lower-id vector in the same cluster
+    is a near-duplicate (the deterministic stand-in for the paper's
+    keep-one-representative policy: the lowest id of every duplicate
+    group always survives).
+
+    Determinism / oracle story (unlike ``build_ivf``'s Lloyd means,
+    which are float averages and therefore ulp-fragile across
+    engines): centroids here are MEDOIDS — the actual stored vectors
+    of ids divisible by ``centroid_step`` — and every distance is a
+    LEFT-TO-RIGHT ``F.aggregate`` fold, which DuckDB reproduces
+    bit-exactly with ``list_reduce`` over the identical stored
+    doubles. Assignment argmin ties break on centroid id. No rounding
+    anywhere; the oracle replays assignment, pair search, and keep
+    policy exactly (query ``semdedup_clusters``).
+
+    Scale shape (10^12 rows): the medoid table is a broadcast
+    dimension (corpus/centroid_step rows — pick the step so it stays
+    one); assignment is the broadcast cross product + ONE
+    map-side-combinable min_by shuffle on the uniform vector id; the
+    pair search self-joins ON THE CLUSTER KEY, so each task's
+    candidate set is one cluster's rows (raise the centroid count to
+    shrink clusters), and the keep anti-join rides the same key.
+    Zero Python anywhere.
+    """
+    if centroids is None:
+        # default medoid pick: ids divisible by the step (callers with
+        # a curated medoid set — k-means++ seeds, per-shard samples —
+        # pass it explicitly)
+        centroids = corpus.where(F.col(id_col) % centroid_step == 0)
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("_cv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(cents)
+        .select("id", "v", F.struct(d2.alias("d"), F.col("_cid").alias("c"),
+                                    ).alias("_dc"))
+        .groupBy("id")
+        .agg(F.min_by(F.col("_dc.c"), F.col("_dc")).alias("cluster"),
+             F.first("v").alias("v"))
+    )
+    a = assigned.select(F.col("id").alias("id_a"), "cluster",
+                        F.col("v").alias("va"))
+    b = assigned.select(F.col("id").alias("id_b"), "cluster",
+                        F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(
+        F.zip_with(F.col("va"), F.col("va"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(
+        F.zip_with(F.col("vb"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v))
+    # zero-vector guard (ANSI mode errors on /0): a zero norm makes
+    # the pair cosine 0, never a near-dup — same contract as ivf_topk
+    den = na * nb
+    safe_den = F.when(den == 0.0, F.lit(1.0)).otherwise(den)
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dot / safe_den >= F.lit(float(threshold)))
+        .select("cluster", "id_a", "id_b")
+    )
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
+        .select("id", "cluster",
+                F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )

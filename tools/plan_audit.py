@@ -197,6 +197,13 @@ AUDITED = [
      "equi-join their own single bucket (exact-once, no dedup) - "
      "zero fact shuffles, never a NestedLoopJoin, candidate pairs "
      "bounded by interval density per bucket"),
+    ("semdedup_clusters", "SemDeDup cluster-bounded semantic dedup: "
+     "the medoid dimension broadcasts (deliberate broadcast cross "
+     "product, like cosine_topk); assignment reduces in ONE "
+     "map-side-combinable min_by shuffle on the uniform vector id; "
+     "the near-dup pair search self-joins ON THE CLUSTER KEY so "
+     "candidates are bounded per cluster, never all-pairs; exact "
+     "left-to-right folds keep the DuckDB oracle bit-identical"),
     ("radius_join", "all-pairs-within-d spatial join: centers explode "
      "into 3x3 radius-width cell rings and BROADCAST; the point side "
      "computes one cell in codegen and never shuffles (zero "

@@ -353,6 +353,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "qk"
         )
 
+    def geohash_tiles_q(spark, sf_dir):
+        # geohash index family (functions/cells.py:geohash_col — the
+        # equirectangular sibling of the quadkey encode, same
+        # parents-are-prefixes property) composed with the SAME
+        # quadkey_rollup operator, proving the prefix-rollup machinery
+        # is index-family-agnostic: nodes -> 5-char geohash -> counts
+        # at prefix lengths 2 and 5. The oracle recomputes every
+        # geohash bit from raw lon/lat (identical IEEE floor/scale
+        # ops) and replays the rollup.
+        from osm_jl_spark.functions.cells import with_geohash
+        from osm_jl_spark.operators.tiling import quadkey_rollup
+
+        pts = with_geohash(
+            _nodes(spark, sf_dir).select("id", "lon", "lat"), 5
+        )
+        return quadkey_rollup(pts, [2, 5], qk_col="gh").select(
+            F.col("zoom").alias("gh_len"),
+            F.col("tile_qk").alias("gh"),
+            F.col("n_points").alias("n"),
+        )
+
     def tile_serving_q(spark, sf_dir):
         # the full tile-SERVING path a map consumer hits, as ONE
         # Catalyst plan: write_points_quadkey (zoom-12 store,
@@ -1739,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_serving": tile_serving_q,
         "radius_join": radius_join_q,
         "semdedup_clusters": semdedup_q,
+        "geohash_tiles": geohash_tiles_q,
         # -- r3-green tail the r4 prefix skipped, cheapest first
         "events_top3": events_top3_q,
         "events_sessionize": events_sessionize_q,
@@ -3021,6 +3043,46 @@ FROM kept k JOIN geo g USING (way_id)"""
     # the same slippy-map arithmetic, same operation order (clamp ->
     # sin -> ln ratio -> scaled floor), same bit-interleave
     _4pi = 4.0 * 3.141592653589793
+
+    # geohash replay: identical IEEE scale/floor ops over the same
+    # CTE-regenerated doubles, bit interleave unrolled exactly like
+    # the engine's codegen (functions/cells.py:geohash_col)
+    from osm_jl_spark.functions.cells import GEOHASH_BASE32
+
+    def _geohash_char_sql(length: int) -> str:
+        bits = 5 * length
+        nx = (bits + 1) // 2
+        ny = bits - nx
+        chars = []
+        for ci in range(length):
+            terms = []
+            for k in range(5):
+                g = 5 * ci + k
+                src = "x" if g % 2 == 0 else "y"
+                pos = (nx if g % 2 == 0 else ny) - 1 - g // 2
+                terms.append(f"(({src} >> {pos}) & 1) * {1 << (4 - k)}")
+            chars.append(
+                f"substring('{GEOHASH_BASE32}', "
+                f"CAST({' + '.join(terms)} AS INT) + 1, 1)"
+            )
+        return "concat(" + ", ".join(chars) + ")"
+
+    _gh_bits = 25  # length 5
+    _gh_nx, _gh_ny = 13, 12
+    out["geohash_tiles"] = f"""WITH {nodes},
+m AS (
+  SELECT id,
+         CAST(greatest(least(floor((lon + 180.0) / 360.0 *
+           {float(2**_gh_nx)!r}), {2**_gh_nx - 1}), 0) AS BIGINT) AS x,
+         CAST(greatest(least(floor((lat + 90.0) / 180.0 *
+           {float(2**_gh_ny)!r}), {2**_gh_ny - 1}), 0) AS BIGINT) AS y
+  FROM nodes
+),
+g AS (SELECT {_geohash_char_sql(5)} AS gh FROM m),
+z AS (SELECT unnest([2, 5]) AS gh_len)
+SELECT z.gh_len, substr(g.gh, 1, z.gh_len) AS gh, count(*) AS n
+FROM g CROSS JOIN z
+GROUP BY z.gh_len, substr(g.gh, 1, z.gh_len)"""
     out["quadkey_tiles"] = f"""WITH {nodes},
 m AS (
   SELECT sin(radians(greatest(least(lat, 85.05112878), -85.05112878)))

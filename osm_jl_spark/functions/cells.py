@@ -187,3 +187,68 @@ def with_quadkey(df, zoom: int, lon: str = "lon", lat: str = "lat",
     """Add a zoom-``zoom`` quadkey column computed from (lon, lat)."""
     x, y = webmerc_tile(lon, lat, zoom)
     return df.withColumn(out, quadkey_col(x, y, zoom))
+
+
+# --------------------------------------------------------------- geohash
+# The third index family next to the trunc grid and web-mercator
+# quadkeys: classic base-32 geohash (Niemeyer 2008) — an equirectangular
+# bit-interleave rather than mercator, with the SAME
+# parents-are-string-prefixes property, so everything built on quadkey
+# prefixes (rollup = substring, prefix-scan pruning) composes with
+# geohash columns unchanged.
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lon, lat, length: int) -> Column:
+    """Geohash string of ``length`` base-32 chars, all native math
+    unrolled over plan constants (no UDF, no array): with B = 5*length
+    total bits, nx = ceil(B/2) longitude bits and ny = B - nx latitude
+    bits, the cell indices are
+
+        X = floor((lon + 180) / 360 * 2^nx)   (clamped to [0, 2^nx-1])
+        Y = floor((lat +  90) / 180 * 2^ny)   (clamped)
+
+    and the hash interleaves their bits MSB-first starting with
+    longitude (the geohash convention: even global bit positions are
+    longitude). Each output char looks its 5-bit group up in the
+    base-32 alphabet via one substring on a literal — ``length``
+    codegen'd expressions total. Floor/division are the identical IEEE
+    ops in any engine reading the same stored doubles, so the DuckDB
+    oracle reproduces every hash bit-exactly (query ``geohash_tiles``).
+    """
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    bits = 5 * length
+    nx = (bits + 1) // 2
+    ny = bits - nx
+    x = F.floor((lonc + F.lit(180.0)) / F.lit(360.0) * F.lit(float(2**nx)))
+    y = F.floor((latc + F.lit(90.0)) / F.lit(180.0) * F.lit(float(2**ny)))
+    x = F.greatest(F.least(x, F.lit(int(2**nx) - 1)), F.lit(0)).cast("long")
+    y = F.greatest(F.least(y, F.lit(int(2**ny) - 1)), F.lit(0)).cast("long")
+    # global bit g (0 = MSB): longitude for even g, latitude for odd;
+    # the source bit position counts down within each axis
+    chars = []
+    for c in range(length):
+        val = None
+        for k in range(5):
+            g = 5 * c + k
+            if g % 2 == 0:  # longitude bit
+                src, pos = x, nx - 1 - g // 2
+            else:           # latitude bit
+                src, pos = y, ny - 1 - g // 2
+            bit = F.shiftright(src, pos).bitwiseAND(F.lit(1))
+            term = bit * F.lit(1 << (4 - k))
+            val = term if val is None else val + term
+        chars.append(
+            F.substring(F.lit(GEOHASH_BASE32), 1, 32).substr(
+                (val + F.lit(1)).cast("int"), F.lit(1)
+            )
+        )
+    return F.concat(*chars)
+
+
+def with_geohash(df, length: int, lon: str = "lon", lat: str = "lat",
+                 out: str = "gh"):
+    """Add a ``length``-char geohash column computed from (lon, lat)."""
+    return df.withColumn(out, geohash_col(lon, lat, length))

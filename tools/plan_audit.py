@@ -197,6 +197,11 @@ AUDITED = [
      "equi-join their own single bucket (exact-once, no dedup) - "
      "zero fact shuffles, never a NestedLoopJoin, candidate pairs "
      "bounded by interval density per bucket"),
+    ("geohash_tiles", "geohash encode + multi-length prefix rollup: "
+     "the base-32 interleave is unrolled codegen in the scan "
+     "projection (like quadkey_tiles); the rollup reuses "
+     "quadkey_rollup's two uniform salted exchanges - the prefix "
+     "machinery is index-family-agnostic"),
     ("semdedup_clusters", "SemDeDup cluster-bounded semantic dedup: "
      "the medoid dimension broadcasts (deliberate broadcast cross "
      "product, like cosine_topk); assignment reduces in ONE "

@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "tile_store_read",
     "tile_serving",
     "radius_join",
+    "semdedup_clusters",
+    "geohash_tiles",
     "crawl_asof",
     "page_links",
     "host_in_links",

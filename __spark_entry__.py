@@ -1037,6 +1037,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "train_id", "eval_id", "containment"
         )
 
+    def bloom_contamination_q(spark, sf_dir):
+        # approximate decontamination against a FIXED-SIZE Bloom
+        # filter of the eval set (operators/dedup.py:
+        # bloom_contamination): eval = every 7th document, m = 2^14
+        # bits, k = 3 double-hashed md5 probes. Per train doc:
+        # (n_shingles, bloom_hits, contaminated) with contaminated =
+        # integer containment >= 1/2. The 2^14 bitmap is deliberately
+        # small at this corpus (~55% loaded) so FALSE POSITIVES are
+        # exercised, not just the no-false-negative easy half; the
+        # DuckDB oracle replays every probe position (same md5
+        # substring arithmetic) and the SET-membership formulation —
+        # semantically equal to the bitmap but structurally
+        # independent, the anti-copy oracle style.
+        docs = _pq(spark, sf_dir, "documents")
+        ev = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+        return D.bloom_contamination(
+            docs, ev, m_bits=1 << 14, k=3
+        ).select("doc_id", "n_shingles", "bloom_hits", "contaminated")
+
     def hash_sample_q(spark, sf_dir):
         # deterministic rate sampling: hash(doc_id) < f*2^60 — a
         # narrow zero-shuffle filter whose membership is stable
@@ -1761,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": radius_join_q,
         "semdedup_clusters": semdedup_q,
         "geohash_tiles": geohash_tiles_q,
+        "bloom_contamination": bloom_contamination_q,
         # -- r3-green tail the r4 prefix skipped, cheapest first
         "events_top3": events_top3_q,
         "events_sessionize": events_sessionize_q,
@@ -2373,6 +2393,47 @@ icnt AS (
 SELECT i.train_id, i.eval_id, i.i / z.sz AS containment
 FROM icnt i JOIN esz z ON z.eval_id = i.eval_id
 WHERE i.i / z.sz >= 0.8"""
+
+    # bloom decontamination: replay every probe position with the
+    # identical md5-substring arithmetic, then use SET membership
+    # (pos IN eval positions) in place of the bitmap — the bits set
+    # in the filter are exactly the eval position set, so the two
+    # formulations are value-equal while sharing no structure
+    out["bloom_contamination"] = """WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+js AS (SELECT range + 1 AS j FROM range(200)),
+tsh AS (
+  SELECT DISTINCT t.doc_id,
+         array_to_string(list_slice(t.tk, p.j, p.j + 2), ' ') AS s
+  FROM toks t, js p WHERE p.j <= len(t.tk) - 2
+),
+probes AS (
+  SELECT doc_id, s,
+         (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+          + r.range * (CAST('0x' || substr(md5(s), 16, 12) AS BIGINT)
+                       * 2 + 1)) % 16384 AS pos
+  FROM tsh, range(3) r
+),
+ev_pos AS (
+  SELECT DISTINCT pos FROM probes WHERE doc_id % 7 = 0
+),
+hit AS (
+  SELECT p.doc_id, p.s,
+         bool_and(e.pos IS NOT NULL) AS might
+  FROM probes p LEFT JOIN ev_pos e ON e.pos = p.pos
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT)
+         AS bloom_hits,
+       CAST(CASE WHEN 2 * sum(CASE WHEN might THEN 1 ELSE 0 END)
+                      >= count(*)
+                 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM hit GROUP BY doc_id"""
 
     # 60-bit md5-prefix rank, identical to sampling._rank_hash;
     # 0.25 * 2^60 == 1 << 58 exactly

@@ -883,3 +883,142 @@ def remove_duplicated_windows(
         F.size(toks).cast("long").alias("n_tokens"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+# ------------------------------------------------------------ bloom
+
+def _bloom_positions(shingle, m_bits: int, k: int) -> list:
+    """k Bloom bit positions for one shingle string, via double
+    hashing on two disjoint md5 substrings: ``pos_i = (h1 + i*h2) %
+    m`` with h1 = 60-bit md5 prefix (hex chars 1-15) and h2 = the
+    49-bit odd value ``2*prefix(16..27) + 1`` (odd keeps the probe
+    stride coprime to the power-of-two ``m_bits``). Everything is
+    positive BIGINT arithmetic bounded by 2^60 + k*2^50 — ANSI-safe
+    and bit-identical in DuckDB via the same substr(md5(s)) casts,
+    which is what makes the bloom queries oracle-checkable (same
+    scheme as :func:`_hash60`).
+    """
+    md5 = F.md5(shingle)
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = (
+        F.conv(F.substring(md5, 16, 12), 16, 10).cast("long")
+        * F.lit(2) + F.lit(1)
+    )
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def bloom_bitmap(
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over the eval set's shingles as (word,
+    bits) rows — ``m_bits`` bits packed into ``m_bits/64`` BIGINT
+    words, each the bit_or of the masks that land in it.
+
+    The bitmap is FIXED-SIZE regardless of eval volume (like the HLL
+    census, web.py): where :func:`contamination_pairs` broadcasts
+    every eval shingle hash — fine for benchmark-sized eval sets, but
+    linear in them — the bloom form caps the broadcast at m_bits/8
+    bytes (32 KiB at the 2^18 default) no matter how many shingles
+    feed it, trading exactness for a quantified false-positive rate
+    fpr = (1 - exp(-k*n/m))^k. One small shuffle over eval positions;
+    at most m_bits/64 output rows.
+    """
+    sh = eval_docs.select(
+        F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+    )
+    pos = sh.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("shingle"), m_bits, k))
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Approximate decontamination against a Bloom filter of the eval
+    set: per train doc, how many of its distinct shingles MIGHT be in
+    the eval set, and an integer containment verdict.
+
+    Returns (doc_id, n_shingles, bloom_hits, contaminated) where
+    ``contaminated = 1`` iff ``2*bloom_hits >= n_shingles`` (bloom
+    containment >= 0.5) — pure integer compare, no float in any
+    oracle-hashed column. ``bloom_hits`` OVERCOUNTS true hits by the
+    filter's false-positive rate; it never undercounts (no false
+    negatives), so contaminated=0 is a safe keep-verdict, which is
+    the direction a decontamination pass must not get wrong.
+
+    Plan (the 100 TB shape): the bitmap builds from the eval side
+    (dimension-sized) and BROADCASTS as a fixed <= m_bits/64-row dim;
+    the train side explodes its per-doc-distinct shingles in the scan
+    projection, computes its k (word, bit) probes natively, and
+    hash-joins the broadcast k times — the 100 TB fact side never
+    shuffles until the final map-side-combinable per-doc count. Zero
+    Python anywhere.
+    """
+    bitmap = F.broadcast(
+        bloom_bitmap(eval_docs, text_col, shingle_n, m_bits, k)
+    )
+    tr = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(text_col, shingle_n)).alias("shingle"),
+    )
+    probes = _bloom_positions(F.col("shingle"), m_bits, k)
+    proj = tr.select(
+        "doc_id",
+        *[F.shiftright(p, 6).alias(f"w{i}") for i, p in enumerate(probes)],
+        *[F.pmod(p, F.lit(64)).cast("int").alias(f"b{i}")
+          for i, p in enumerate(probes)],
+    )
+    joined = proj
+    for i in range(k):
+        joined = joined.join(
+            bitmap.select(
+                F.col("word").alias(f"w{i}"), F.col("bits").alias(f"_bits{i}")
+            ),
+            f"w{i}",
+            "left",
+        )
+    might = F.lit(True)
+    for i in range(k):
+        # arithmetic shiftright keeps bit b of the original word at
+        # position 0 even when bit 63 (sign) is set in the bitmap word
+        might = might & F.expr(
+            f"coalesce((shiftright(_bits{i}, b{i}) & 1) = 1, false)"
+        )
+    return (
+        joined.select("doc_id", might.cast("int").alias("might"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("might").alias("bloom_hits"),
+            F.max("might").alias("contaminated"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.lit(2) * F.col("bloom_hits") >= F.col("n_shingles"))
+            .cast("int"),
+        )
+    )

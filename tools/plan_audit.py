@@ -202,6 +202,13 @@ AUDITED = [
      "projection (like quadkey_tiles); the rollup reuses "
      "quadkey_rollup's two uniform salted exchanges - the prefix "
      "machinery is index-family-agnostic"),
+    ("bloom_contamination", "Bloom-filter decontamination: the eval "
+     "side reduces to a FIXED-SIZE (m/64-row) bit-or'd bitmap that "
+     "BROADCASTS — eval volume never grows the broadcast, unlike "
+     "contamination_pairs' per-shingle dim; the train side computes "
+     "its k md5 probes in the scan projection, hash-joins the "
+     "broadcast k times, and shuffles exactly once (the map-side-"
+     "combinable per-doc count); no false negatives by construction"),
     ("semdedup_clusters", "SemDeDup cluster-bounded semantic dedup: "
      "the medoid dimension broadcasts (deliberate broadcast cross "
      "product, like cosine_topk); assignment reduces in ONE "

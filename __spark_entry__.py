@@ -1037,6 +1037,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "train_id", "eval_id", "containment"
         )
 
+    def bbox_overlap_join_q(spark, sf_dir):
+        # rectangle-overlap spatial join (operators/joins.py:
+        # envelope_join): two deterministic rectangle sets derived
+        # from the node table's EXACT micro-degree integers (centers =
+        # every 31st / 43rd node, half-widths 10..199 from pure id
+        # arithmetic — extents < cell_w 500, so strict mode runs the
+        # pure grid path: 2x2-max cell covers, one equi-join on the
+        # cell key, reporting-cell dedup, zero nested loops). Output
+        # (a_id, b_id, ix_area) with the overlap area exact BIGINT.
+        # The oracle is the naive cross-product overlap filter over
+        # the same generator integers — an independent formulation.
+        nodes = _nodes(spark, sf_dir).select(
+            "id", J._micro("lon").alias("x"), J._micro("lat").alias("y")
+        )
+
+        def rects(mod, kx, ky):
+            rx = F.lit(10) + (F.col("id") * kx) % 190
+            ry = F.lit(10) + (F.col("id") * ky) % 190
+            return nodes.filter(F.col("id") % mod == 0).select(
+                "id",
+                (F.col("x") - rx).alias("minx"),
+                (F.col("y") - ry).alias("miny"),
+                (F.col("x") + rx).alias("maxx"),
+                (F.col("y") + ry).alias("maxy"),
+            )
+
+        return J.envelope_join(
+            rects(31, 37, 61), rects(43, 53, 29),
+            cell_w=500, oversize="strict",
+        )
+
     def bloom_contamination_q(spark, sf_dir):
         # approximate decontamination against a FIXED-SIZE Bloom
         # filter of the eval set (operators/dedup.py:
@@ -1781,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_clusters": semdedup_q,
         "geohash_tiles": geohash_tiles_q,
         "bloom_contamination": bloom_contamination_q,
+        "bbox_overlap_join": bbox_overlap_join_q,
         # -- r3-green tail the r4 prefix skipped, cheapest first
         "events_top3": events_top3_q,
         "events_sessionize": events_sessionize_q,
@@ -3246,6 +3278,35 @@ SELECT c.id AS center_id, p.id AS point_id,
 FROM pts p JOIN ctr c
   ON (p.lon_u - c.lon_u) * (p.lon_u - c.lon_u)
      + (p.lat_u - c.lat_u) * (p.lat_u - c.lat_u) <= 90000"""
+
+    # rectangle overlap: the oracle is the NAIVE cross-product overlap
+    # filter over the generator's own micro-degree integers — the
+    # engine's grid-cover + reporting-cell plan must reproduce every
+    # pair and exact integer area once
+    out["bbox_overlap_join"] = f"""WITH {nodes},
+ra AS (
+  SELECT id,
+         lon_u - (10 + (id * 37) % 190) AS minx,
+         lat_u - (10 + (id * 61) % 190) AS miny,
+         lon_u + (10 + (id * 37) % 190) AS maxx,
+         lat_u + (10 + (id * 61) % 190) AS maxy
+  FROM nodes_coord WHERE id % 31 = 0
+),
+rb AS (
+  SELECT id,
+         lon_u - (10 + (id * 53) % 190) AS minx,
+         lat_u - (10 + (id * 29) % 190) AS miny,
+         lon_u + (10 + (id * 53) % 190) AS maxx,
+         lat_u + (10 + (id * 29) % 190) AS maxy
+  FROM nodes_coord WHERE id % 43 = 0
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST((least(a.maxx, b.maxx) - greatest(a.minx, b.minx))
+          * (least(a.maxy, b.maxy) - greatest(a.miny, b.miny))
+          AS BIGINT) AS ix_area
+FROM ra a JOIN rb b
+  ON a.minx <= b.maxx AND b.minx <= a.maxx
+ AND a.miny <= b.maxy AND b.miny <= a.maxy"""
 
     # interval containment: the oracle is the NAIVE range-predicate
     # join — an independent formulation; the engine's bucket-cover

@@ -472,3 +472,133 @@ def within_distance_join(
         .select(center_id, "point_id", d2.alias("d2"))
         .where(F.col("d2") <= F.lit(int(radius_u) ** 2))
     )
+
+
+def envelope_join(
+    a: DataFrame,
+    b: DataFrame,
+    cell_w: int,
+    oversize: str = "broadcast",
+) -> DataFrame:
+    """Rectangle-overlap (envelope intersection) join — the R-tree-probe
+    analogue for axis-aligned bounding boxes, grid-partitioned the same
+    way the PIP cell cover (nodes_in_polygons) and the radius join
+    partition points. Inputs are (id, minx, miny, maxx, maxy) in EXACT
+    micro-degree BIGINTs; returns (a_id, b_id, ix_area) for every pair
+    whose CLOSED rectangles intersect (touching edges count), with
+    ix_area the exact integer overlap area (0 when they only touch).
+
+    Plan (the 10^12-rect design):
+
+    - COMPACT rectangles (both extents < ``cell_w``) explode into their
+      grid-cell cover — at most 2x2 cells each by the extent bound —
+      and equi-join on the cell key: candidates are bounded by local
+      rectangle density per cell, never all-pairs, and the overlap
+      predicate plus area run in the same codegen stage.
+    - Exact-once WITHOUT a distinct shuffle: a pair spanning several
+      shared cells is emitted only in its REPORTING CELL — the cell of
+      the intersection's lower-left corner (max(minx), max(miny)),
+      which lies inside both rectangles and hence both covers. The
+      classic partitioned-spatial-join dedup (Sedona/SpatialHadoop do
+      the same), one comparison instead of a global distinct.
+    - OVERSIZED rectangles (either extent >= cell_w) can't bound their
+      cover, so they route to a broadcast sidecar: oversized-A crosses
+      ALL of B, compact-A crosses oversized-B (no double count). The
+      contract is that oversized rectangles are DIMENSION-sized
+      (pick cell_w >= the common extent; a world-spanning envelope is
+      a data bug at scale) — ``oversize='strict'`` enforces it with a
+      raise_error instead, keeping the plan free of the nested-loop
+      branch when the caller guarantees compactness.
+    """
+    if oversize not in ("broadcast", "strict"):
+        raise ValueError(f"oversize must be broadcast|strict: {oversize}")
+    w = int(cell_w)
+    if w <= 0:
+        raise ValueError(f"cell_w must be positive, got {cell_w}")
+
+    def fdiv(col: F.Column) -> F.Column:
+        return ((col - F.pmod(col, F.lit(w))) / F.lit(w)).cast("long")
+
+    def is_compact(p: str) -> F.Column:
+        return (
+            (F.col(f"{p}maxx") - F.col(f"{p}minx") < w)
+            & (F.col(f"{p}maxy") - F.col(f"{p}miny") < w)
+        )
+
+    def prep(df: DataFrame, p: str) -> DataFrame:
+        cols = ["id", "minx", "miny", "maxx", "maxy"]
+        out = df.select(*[F.col(c).alias(f"{p}{c}") for c in cols])
+        if oversize == "strict":
+            # fail fast on contract violation, zero plan pollution
+            out = out.withColumn(
+                f"{p}minx",
+                F.when(is_compact(p), F.col(f"{p}minx")).otherwise(
+                    F.raise_error(F.lit(
+                        f"envelope_join(strict): rectangle extent >= "
+                        f"cell_w={w}; use oversize='broadcast' or a "
+                        f"larger cell_w"))),
+            )
+        return out
+
+    pa, pb = prep(a, "a_"), prep(b, "b_")
+
+    def cover(df: DataFrame, p: str) -> DataFrame:
+        return (
+            df.withColumn(
+                "_gx",
+                F.explode(F.sequence(fdiv(F.col(f"{p}minx")),
+                                     fdiv(F.col(f"{p}maxx")))),
+            )
+            .withColumn(
+                "_gy",
+                F.explode(F.sequence(fdiv(F.col(f"{p}miny")),
+                                     fdiv(F.col(f"{p}maxy")))),
+            )
+        )
+
+    overlap = (
+        (F.col("a_minx") <= F.col("b_maxx"))
+        & (F.col("b_minx") <= F.col("a_maxx"))
+        & (F.col("a_miny") <= F.col("b_maxy"))
+        & (F.col("b_miny") <= F.col("a_maxy"))
+    )
+    area = (
+        (F.least("a_maxx", "b_maxx") - F.greatest("a_minx", "b_minx"))
+        * (F.least("a_maxy", "b_maxy") - F.greatest("a_miny", "b_miny"))
+    )
+    out_cols = [
+        F.col("a_id").alias("a_id"),
+        F.col("b_id").alias("b_id"),
+        area.alias("ix_area"),
+    ]
+
+    if oversize == "strict":
+        ca, cb = cover(pa, "a_"), cover(pb, "b_")
+        return (
+            ca.join(cb, ["_gx", "_gy"])
+            .where(
+                overlap
+                & (F.col("_gx")
+                   == fdiv(F.greatest("a_minx", "b_minx")))
+                & (F.col("_gy")
+                   == fdiv(F.greatest("a_miny", "b_miny")))
+            )
+            .select(*out_cols)
+        )
+
+    a_c, a_o = pa.filter(is_compact("a_")), pa.filter(~is_compact("a_"))
+    b_c, b_o = pb.filter(is_compact("b_")), pb.filter(~is_compact("b_"))
+    grid = (
+        cover(a_c, "a_").join(cover(b_c, "b_"), ["_gx", "_gy"])
+        .where(
+            overlap
+            & (F.col("_gx") == fdiv(F.greatest("a_minx", "b_minx")))
+            & (F.col("_gy") == fdiv(F.greatest("a_miny", "b_miny")))
+        )
+        .select(*out_cols)
+    )
+    # oversized sidecar: a_over x ALL b, plus compact-a x b_over —
+    # covers every oversized pair exactly once
+    side1 = F.broadcast(a_o).join(pb, overlap).select(*out_cols)
+    side2 = a_c.join(F.broadcast(b_o), overlap).select(*out_cols)
+    return grid.unionByName(side1).unionByName(side2)

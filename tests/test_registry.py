@@ -42,13 +42,14 @@ def test_registry_is_large_and_ordered():
     the newest queries (round-5 head pinned: the two new queries,
     then the 43-query r3-evidence tail rotated to the front)."""
     keys = list(entry.queries())
-    assert len(keys) >= 99
+    assert len(keys) >= 100
     assert keys[0] == "lm_perplexity_filter"
     assert keys[1] == "tile_serving"
     assert keys[2] == "radius_join"
     assert keys[3] == "semdedup_clusters"
     assert keys[4] == "geohash_tiles"
     assert keys[5] == "bloom_contamination"
+    assert keys[6] == "bbox_overlap_join"
     # the rotated r3 tail fits entirely inside the 50-entry prefix
     assert "osm_xml_file_parse" in keys[:50]
     assert "pip_polygons" in keys[:50]

@@ -202,6 +202,13 @@ AUDITED = [
      "projection (like quadkey_tiles); the rollup reuses "
      "quadkey_rollup's two uniform salted exchanges - the prefix "
      "machinery is index-family-agnostic"),
+    ("bbox_overlap_join", "rectangle-overlap spatial join (strict "
+     "grid path): compact rectangles explode into <=2x2 cell covers "
+     "and equi-join on the cell key — candidates bounded by local "
+     "density, never all-pairs; exact-once via the reporting-cell "
+     "comparison instead of a distinct (zero dedup exchange); the "
+     "overlap predicate and exact BIGINT area run in the same "
+     "codegen stage; no nested loop anywhere in strict mode"),
     ("bloom_contamination", "Bloom-filter decontamination: the eval "
      "side reduces to a FIXED-SIZE (m/64-row) bit-or'd bitmap that "
      "BROADCASTS — eval volume never grows the broadcast, unlike "

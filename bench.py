@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "radius_join",
     "semdedup_clusters",
     "geohash_tiles",
+    "bloom_contamination",
+    "bbox_overlap_join",
     "crawl_asof",
     "page_links",
     "host_in_links",

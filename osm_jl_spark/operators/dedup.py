@@ -1022,3 +1022,17 @@ def bloom_contamination(
             .cast("int"),
         )
     )
+
+
+def bloom_words(bitmap: DataFrame, m_bits: int) -> list[int]:
+    """Densify a :func:`bloom_bitmap` result into the full
+    ``m_bits/64``-long word list (missing words zero) — the plan-
+    constant form :func:`osm_jl_spark.streaming.incremental.
+    streaming_bloom_filter` embeds. The collect is FIXED-size
+    (m_bits/8 bytes, 32 KiB at the 2^18 default) regardless of eval
+    volume — the same bounded-driver-transfer argument as the HLL
+    census, not a data-sized collect."""
+    words = [0] * (int(m_bits) // 64)
+    for r in bitmap.collect():
+        words[r["word"]] = r["bits"]
+    return words

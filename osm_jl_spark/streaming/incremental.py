@@ -22,6 +22,10 @@ parity requirement. Two pieces:
   enriched with the policy snapshot in force at its event time; one
   (epoch, value) state pair per key, batch parity pinned across
   micro-batch boundaries.
+- ``streaming_bloom_filter``: live decontamination — each arriving
+  document scored against a fixed Bloom filter of the eval set,
+  embedded as a plan-constant word array; a pure STATELESS projection
+  (no join, no state store), batch parity pinned.
 - Checkpointed incremental BATCH — the form the north rule's
   resumability actually requires — lives in plans/manifest.py
   (``run_with_manifest``: unit-sliced pipeline, idempotent overwrite,
@@ -335,4 +339,73 @@ def streaming_host_in_links(pages_stream: DataFrame) -> DataFrame:
     return links.groupBy("dst_host").agg(
         F.count(F.lit(1)).alias("n_links"),
         F.approx_count_distinct("url").alias("n_src_docs_approx"),
+    )
+
+
+def streaming_bloom_filter(
+    stream: DataFrame,
+    bitmap_words: list[int],
+    m_bits: int = 1 << 18,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Live decontamination: score a document stream against a FIXED
+    Bloom filter of the eval set (operators/dedup.py:
+    bloom_contamination's streaming form) — per doc (id, n_shingles,
+    bloom_hits, contaminated), identical to the batch operator on the
+    same rows (pinned in tests/test_streaming_bloom.py).
+
+    The bitmap arrives as the ``m_bits/64``-long word list
+    (:func:`~osm_jl_spark.operators.dedup.bloom_words`) and embeds as
+    a PLAN CONSTANT array literal — the same unrolled-constant style
+    as the polygon cell covers — so the whole operator is ONE
+    stateless narrow projection: shingles, k probe positions, and the
+    getbit membership test all evaluate per row with zero joins, zero
+    aggregation, zero state. That is the right streaming trade: the
+    batch operator broadcasts the bitmap as a dim table because its
+    per-doc count re-aggregates after an explode; a stream scoring
+    docs as they arrive wants append mode with no state store at all,
+    which the array-fold form delivers (a streaming groupBy on doc_id
+    would pin one state row per document forever). 32 KiB of literal
+    at the 2^18 default; zero-shingle docs drop, matching the batch
+    operator's explode semantics.
+    """
+    n_words = int(m_bits) // 64
+    if len(bitmap_words) != n_words:
+        raise ValueError(
+            f"bitmap_words must have m_bits/64 = {n_words} entries, "
+            f"got {len(bitmap_words)} (use dedup.bloom_words)")
+    from osm_jl_spark.functions.text import shingles_col
+    from osm_jl_spark.operators.dedup import _bloom_positions
+
+    arr = F.lit([int(w) for w in bitmap_words])
+
+    def might(s):
+        probes = F.array(*[
+            F.struct(
+                F.shiftright(p, 6).alias("w"),
+                F.pmod(p, F.lit(64)).cast("int").alias("b"),
+            )
+            for p in _bloom_positions(s, int(m_bits), k)
+        ])
+        return F.forall(
+            probes,
+            lambda pr: F.getbit(
+                F.element_at(arr, (pr["w"] + 1).cast("int")), pr["b"]
+            ) == 1,
+        )
+
+    sh = shingles_col(text_col, shingle_n)
+    n = F.size(sh)
+    hits = F.size(F.filter(sh, might))
+    return (
+        stream.select(
+            F.col(id_col).alias("doc_id"),
+            n.cast("long").alias("n_shingles"),
+            hits.cast("long").alias("bloom_hits"),
+            (F.lit(2) * hits >= n).cast("int").alias("contaminated"),
+        )
+        .where(F.col("n_shingles") > 0)
     )

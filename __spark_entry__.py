@@ -1037,6 +1037,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "train_id", "eval_id", "containment"
         )
 
+    def route_lengths_q(spark, sf_dir):
+        # route-relation assembly (operators/joins.py:route_lengths):
+        # total member-way length per type=route relation, folded in
+        # member order. Member lengths are the cm-rounded doubles
+        # way_lengths proves bit-equal across engines; the oracle
+        # replays the identical join + pos-ordered fold + final
+        # rounding, so the float column matches exactly.
+        return J.route_lengths(
+            _relations(spark, sf_dir),
+            _ways(spark, sf_dir),
+            _nodes(spark, sf_dir),
+        )
+
     def bbox_overlap_join_q(spark, sf_dir):
         # rectangle-overlap spatial join (operators/joins.py:
         # envelope_join): two deterministic rectangle sets derived
@@ -1857,6 +1870,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparse_points": geoparse_points_q,
         "osm_xml_parse": osm_xml_q,
         "osm_xml_file_parse": osm_xml_file_q,
+        # -- position 50: the 50-entry r5 prefix is exactly full (7 new
+        # r5 queries + the 43-query r3 tail), so this round-5 addition
+        # waits at the prefix boundary — PENDING its first driver check,
+        # carried by the local gate replica (PASS hash-exact, including
+        # the float fold column) until a prefix slot opens
+        "route_lengths": route_lengths_q,
         # -- r4 driver-green (1 round old), newest first
         "page_links": page_links_q,
         "host_in_links": host_in_links_q,
@@ -3065,6 +3084,59 @@ SELECT c.id AS way_id, c.n_pts,
                   ELSE list_reduce(l.ls, (a, b) -> a + b) END, 2)
          AS length_m
 FROM c LEFT JOIN l ON c.id = l.id"""
+
+    # route assembly: member-way lengths replayed with the identical
+    # way_lengths machinery, then the identical pos-ordered fold —
+    # float-exact because both engines execute the same IEEE ops on
+    # the same cm-rounded doubles in the same order
+    out["route_lengths"] = f"""WITH {nodes}, {ways}, {rels},
+j AS (
+  SELECT wr.id, wr.pos, n.lon, n.lat
+  FROM ways_refs wr JOIN nodes n ON wr.ref = n.id
+),
+s AS (
+  SELECT id, pos, lon, lat,
+         lag(lon) OVER (PARTITION BY id ORDER BY pos) AS plon,
+         lag(lat) OVER (PARTITION BY id ORDER BY pos) AS plat
+  FROM j
+),
+d AS (
+  SELECT id, pos,
+         {2.0 * 6371008.8!r} * asin(sqrt(
+           sin((radians(lat) - radians(plat)) / 2)
+             * sin((radians(lat) - radians(plat)) / 2)
+           + cos(radians(plat)) * cos(radians(lat))
+             * sin((radians(lon) - radians(plon)) / 2)
+             * sin((radians(lon) - radians(plon)) / 2)
+         )) AS seg
+  FROM s WHERE plat IS NOT NULL
+),
+l AS (SELECT id, list(seg ORDER BY pos) AS ls FROM d GROUP BY id),
+c AS (SELECT id FROM j GROUP BY id),
+wl AS (
+  SELECT c.id,
+         round(CASE WHEN l.id IS NULL THEN 0.0
+                    ELSE list_reduce(l.ls, (a, b) -> a + b) END, 2)
+           AS len
+  FROM c LEFT JOIN l ON c.id = l.id
+),
+rm AS (
+  SELECT m.id AS relation_id, m.pos, m.ref
+  FROM rel_members m JOIN relations r ON r.id = m.id
+  WHERE m.mtype = 'way' AND r.t_type = 'route'
+),
+ml AS (
+  SELECT rm.relation_id, rm.pos, wl.len
+  FROM rm JOIN wl ON wl.id = rm.ref
+),
+agg AS (
+  SELECT relation_id, count(*) AS n_way_members,
+         list(len ORDER BY pos) AS ls
+  FROM ml GROUP BY relation_id
+)
+SELECT relation_id, CAST(n_way_members AS BIGINT) AS n_way_members,
+       round(list_reduce(ls, (a, b) -> a + b), 2) AS route_m
+FROM agg"""
 
     # way_simplify: the WHOLE Douglas-Peucker recursion replayed in a
     # recursive CTE — split test in exact HUGEINT (cross² vs eps²·len²,

@@ -602,3 +602,68 @@ def envelope_join(
     side1 = F.broadcast(a_o).join(pb, overlap).select(*out_cols)
     side2 = a_c.join(F.broadcast(b_o), overlap).select(*out_cols)
     return grid.unionByName(side1).unionByName(side2)
+
+
+def route_lengths(
+    relations: DataFrame, ways: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """Route-relation assembly: per type=route relation, the member
+    count and total great-circle length of its WAY members, summed in
+    member order — the "how long is this bus/hiking route" query the
+    reference's relation support (src/elements.jl:325-338) stops just
+    short of. Returns (relation_id, n_way_members, route_m).
+
+    Member semantics: only ``type='way'`` members contribute (node and
+    sub-relation members have no path length; recursive sub-relation
+    expansion is out of scope and documented, matching how most OSM
+    consumers flatten route masters). A way listed twice adds twice —
+    member order is a real route's traversal order.
+
+    Plan: way lengths compute ONCE via :func:`way_lengths` (the J1
+    shuffle + in-order haversine fold); the relation member explode is
+    dimension-sized next to the way/node fact tables, joins the
+    lengths on the uniform way-id key, and reassembles per relation
+    with the same sort_array-then-fold used everywhere order matters
+    after a shuffle. Float contract: member lengths are cm-rounded
+    BEFORE the fold (cm-rounded doubles are the values `way_lengths`
+    proves bit-equal across engines), the fold is LEFT-TO-RIGHT in
+    member position order, and the total rounds to cm again — the
+    DuckDB oracle replays the identical op sequence, so the match is
+    exact, not tolerance-based.
+    """
+    mem = relation_members_exploded(relations).filter(
+        F.col("type") == "way"
+    )
+    routes = relations.filter(
+        F.col("tags")["type"] == "route"
+    ).select(F.col("id").alias("relation_id"))
+    lens = way_lengths(ways, nodes).select(
+        F.col("way_id").alias("ref"),
+        F.round("length_m", 2).alias("_len"),
+    )
+    joined = (
+        mem.join(routes, "relation_id", "left_semi")
+        .join(lens, "ref")
+    )
+    folded = (
+        joined.groupBy("relation_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_way_members"),
+            F.sort_array(
+                F.collect_list(F.struct("pos", "_len"))
+            ).alias("_ord"),
+        )
+        .select(
+            "relation_id",
+            "n_way_members",
+            F.round(
+                F.aggregate(
+                    F.col("_ord"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["_len"],
+                ),
+                2,
+            ).alias("route_m"),
+        )
+    )
+    return folded

@@ -41,20 +41,29 @@ def stale_report(prefix_len: int) -> int:
             newest[name] = max(newest.get(name, 0), rnd)
     names = list(entrymod.queries())
     upcoming = set(names[:prefix_len])
-    stale = []
+    stale, pending = [], []
     for pos, name in enumerate(names):
         if name in upcoming:
             continue  # refreshed by the next driver run
         seen = newest.get(name)
-        if seen is None or (latest_round + 1) - seen >= 2:
+        if seen is None:
+            # never driver-checked: not ROTTED evidence (it cannot be
+            # older than the query), but it does need a prefix slot —
+            # reported distinctly so a full prefix doesn't masquerade
+            # as evidence decay, and loudly so it is never silent
+            pending.append((pos, name))
+        elif (latest_round + 1) - seen >= 2:
             stale.append((pos, name, seen))
     for pos, name, seen in stale:
-        ev = f"r{seen}" if seen else "never checked"
         print(f"STALE {name} (registry position {pos}, newest driver "
-              f"evidence: {ev})")
-    print(f"\n{len(stale)} stale of {len(names)} registered "
-          f"(latest artifact: r{latest_round}, upcoming prefix: "
-          f"{prefix_len})")
+              f"evidence: r{seen})")
+    for pos, name in pending:
+        print(f"PENDING {name} (registry position {pos}: never driver-"
+              f"checked and outside the upcoming {prefix_len}-entry "
+              f"prefix — local gate evidence only until a slot opens)")
+    print(f"\n{len(stale)} stale, {len(pending)} pending of "
+          f"{len(names)} registered (latest artifact: r{latest_round}, "
+          f"upcoming prefix: {prefix_len})")
     return 1 if stale else 0
 
 SF_DIR = "/root/testdata/sf0.01"

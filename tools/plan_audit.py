@@ -202,6 +202,12 @@ AUDITED = [
      "projection (like quadkey_tiles); the rollup reuses "
      "quadkey_rollup's two uniform salted exchanges - the prefix "
      "machinery is index-family-agnostic"),
+    ("route_lengths", "route-relation assembly: way lengths compute "
+     "once (the J1 shuffle + in-order haversine fold); the member "
+     "explode is dimension-sized and joins lengths on the uniform "
+     "way-id key; per-relation reassembly is the standard sort_array-"
+     "then-fold — order-deterministic floats, no extra exchange "
+     "beyond the member regroup"),
     ("bbox_overlap_join", "rectangle-overlap spatial join (strict "
      "grid path): compact rectangles explode into <=2x2 cell covers "
      "and equi-join on the cell key — candidates bounded by local "

@@ -42,7 +42,7 @@ def test_registry_is_large_and_ordered():
     the newest queries (round-5 head pinned: the two new queries,
     then the 43-query r3-evidence tail rotated to the front)."""
     keys = list(entry.queries())
-    assert len(keys) >= 101
+    assert len(keys) >= 102
     assert keys[0] == "lm_perplexity_filter"
     assert keys[1] == "tile_serving"
     assert keys[2] == "radius_join"
@@ -53,6 +53,9 @@ def test_registry_is_large_and_ordered():
     # the rotated r3 tail fits entirely inside the 50-entry prefix
     assert "osm_xml_file_parse" in keys[:50]
     assert "pip_polygons" in keys[:50]
-    # the prefix is exactly full: route_lengths waits at the boundary
-    # (PENDING its first driver check, local gate evidence meanwhile)
+    # the prefix is exactly full: the round-5 additions past slot 49
+    # wait at the boundary (PENDING their first driver check, local
+    # gate evidence meanwhile — tools/check_correctness.py --stale
+    # reports them distinctly from rotted evidence)
     assert keys[50] == "route_lengths"
+    assert keys[51] == "osm_pbf_parse"

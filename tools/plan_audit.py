@@ -202,6 +202,13 @@ AUDITED = [
      "projection (like quadkey_tiles); the rollup reuses "
      "quadkey_rollup's two uniform salted exchanges - the prefix "
      "machinery is index-family-agnostic"),
+    ("osm_pbf_parse", "splittable OSM PBF ingest: the driver walks "
+     "only the blob header chain (metadata, O(blob count) tiny "
+     "reads); one decode task per independently-decodable zlib blob "
+     "— planet files fan out to tens of thousands of tasks with zero "
+     "coordination; binary varint decode is the sanctioned "
+     "mapInPandas exception (SURVEY 2.9(b)), same class as the XML "
+     "range parse"),
     ("route_lengths", "route-relation assembly: way lengths compute "
      "once (the J1 shuffle + in-order haversine fold); the member "
      "explode is dimension-sized and joins lengths on the uniform "

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "geohash_tiles",
     "bloom_contamination",
     "bbox_overlap_join",
+    "route_lengths",
     "crawl_asof",
     "page_links",
     "host_in_links",

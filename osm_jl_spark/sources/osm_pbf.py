@@ -111,6 +111,10 @@ def _enc_uvarint(n: int) -> bytes:
 
 
 def _enc_zigzag(n: int) -> bytes:
+    if not -(1 << 63) <= n < (1 << 63):
+        # sint64 is the wire type: a delta outside int64 (two refs
+        # further apart than 2^63) is unrepresentable in the format
+        raise ValueError(f"delta {n} outside sint64 range")
     return _enc_uvarint((n << 1) ^ (n >> 63))
 
 

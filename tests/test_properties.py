@@ -75,3 +75,60 @@ def test_cell_encode_consistent_under_vectorization(pts, precision):
     batch = np.trunc(arr).astype(np.int64)
     scalar = [coord2index(p[0], precision) for p in pts]
     assert list(batch) == scalar
+
+
+# ------------------------------------------------- PBF wire format
+
+varint64 = st.integers(min_value=0, max_value=(1 << 64) - 1)
+sint64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+
+
+@given(st.lists(varint64, max_size=50))
+def test_pbf_uvarint_roundtrip(values):
+    from osm_jl_spark.sources.osm_pbf import _enc_uvarint, _uvarint
+
+    buf = b"".join(_enc_uvarint(v) for v in values)
+    i, got = 0, []
+    while i < len(buf):
+        v, i = _uvarint(buf, i)
+        got.append(v)
+    assert got == values
+
+
+@given(st.lists(sint64, max_size=50))
+def test_pbf_zigzag_packed_roundtrip(values):
+    from osm_jl_spark.sources.osm_pbf import _enc_packed, _fields, _packed
+
+    msg = _enc_packed(7, values, signed=True)
+    decoded = [
+        _packed(v, signed=True) for f, _, v in _fields(msg) if f == 7
+    ]
+    assert decoded == [values]
+
+
+@given(
+    st.dictionaries(
+        st.text(min_size=1, max_size=8),
+        st.text(max_size=8),
+        max_size=6,
+    ),
+    # refs are OSM node ids: positive int64, the format's real domain
+    # (an arbitrary-sint64 ref LIST can produce deltas outside sint64,
+    # which the wire format itself cannot represent — the encoder
+    # raises on those, pinned in tests/test_pbf.py)
+    st.lists(st.integers(min_value=1, max_value=(1 << 62)), max_size=10),
+    st.integers(min_value=1, max_value=(1 << 63) - 1),
+)
+def test_pbf_way_block_roundtrip(tags, refs, way_id):
+    """A single-way PrimitiveBlock survives encode -> decode exactly:
+    id, ref order (delta coding), and the full tag dict via the
+    string table."""
+    from osm_jl_spark.sources.osm_pbf import _decode_block, _enc_block
+
+    el = {"kind": "way", "id": way_id, "node_refs": refs, "tags": tags}
+    rows = _decode_block(_enc_block([el]))
+    assert len(rows) == 1
+    got = rows[0]
+    assert got["id"] == way_id
+    assert got["node_refs"] == list(refs)
+    assert got["tags"] == tags

@@ -94,6 +94,19 @@ def test_roundtrip_relations_members(spark, triple, pbf_path):
         assert dict(g.tags) == dict(src.tags), src.id
 
 
+def test_one_decode_task_per_blob(spark, pbf_path):
+    """The scale contract: decode parallelism equals the OSMData blob
+    count (a planet file fans out to its tens of thousands of blobs),
+    with exactly the one repartition exchange that assigns them."""
+    from osm_jl_spark.sources.osm_pbf import parse_pbf, pbf_blob_index
+
+    n_data = sum(
+        1 for b in pbf_blob_index(pbf_path) if b["type"] == "OSMData"
+    )
+    els = parse_pbf(spark, pbf_path)
+    assert els.rdd.getNumPartitions() == n_data
+
+
 def test_parse_rejects_non_pbf(spark, tmp_path):
     p = tmp_path / "not.pbf"
     p.write_bytes(b"")

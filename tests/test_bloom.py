@@ -105,3 +105,16 @@ def test_train_side_never_shuffles_before_doc_agg(spark):
     hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert sorted(set(hashparts)) == ["doc_id", "word"], plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_empty_eval_set_flags_nothing(spark):
+    """An empty eval corpus builds an empty bitmap; every probe
+    misses, so bloom_hits is 0 everywhere and nothing is flagged —
+    the left join must tolerate the empty broadcast side."""
+    vocab = [f"w{i}" for i in range(30)]
+    docs = _corpus(spark, vocab, 20)
+    ev = docs.filter("doc_id < 0")  # empty
+    out = bloom_contamination(docs, ev, m_bits=1 << 10, k=3).agg(
+        F.sum("bloom_hits"), F.max("contaminated")
+    ).collect()[0]
+    assert out[0] == 0 and out[1] == 0

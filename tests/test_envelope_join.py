@@ -94,3 +94,10 @@ def test_strict_plan_has_no_nested_loop_and_no_distinct(spark):
     assert "CartesianProduct" not in plan, plan
     assert count_nodes(plan, "HashAggregate") == 0, plan  # no distinct
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_empty_side_yields_no_pairs(spark):
+    a = _rects(spark, 20, seed=12)
+    b = a.filter("id < 0")  # empty
+    assert envelope_join(a, b, cell_w=1000).count() == 0
+    assert envelope_join(b, a, cell_w=1000).count() == 0

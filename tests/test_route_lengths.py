@@ -59,3 +59,18 @@ def test_member_semantics(spark):
     assert r.route_m == round(lens[1] + lens[2] + lens[1], 2)
     # sanity: the duplicate really doubled way 1's contribution
     assert r.route_m > lens[1] + lens[2]
+
+
+def test_dangling_way_refs_drop(spark):
+    """A route member pointing at a way id that doesn't exist drops
+    from both the count and the total (inner join) — same dangling-ref
+    semantics as the J1 waynodes join."""
+    _, ways, nodes = _fixture(spark)
+    relations = spark.createDataFrame([
+        Row(id=20,
+            members=[Row(ref=1, type="way", role=""),
+                     Row(ref=999, type="way", role="")],
+            tags={"type": "route"}),
+    ])
+    out = route_lengths(relations, ways, nodes).collect()
+    assert len(out) == 1 and out[0].n_way_members == 1

@@ -617,7 +617,9 @@ def route_lengths(
     sub-relation members have no path length; recursive sub-relation
     expansion is out of scope and documented, matching how most OSM
     consumers flatten route masters). A way listed twice adds twice —
-    member order is a real route's traversal order.
+    member order is a real route's traversal order. A member ref with
+    no matching way DROPS from both the count and the total (inner
+    join) — the same dangling-ref semantics as the J1 waynodes join.
 
     Plan: way lengths compute ONCE via :func:`way_lengths` (the J1
     shuffle + in-order haversine fold); the relation member explode is

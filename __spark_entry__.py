@@ -1858,6 +1858,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("tags").cast("long").alias("n_tags"),
         )
 
+    def pq_topk_q(spark, sf_dir):
+        # product-quantization ANN (operators/similarity.py): vectors
+        # compress to 8 codeword ids (zero-shuffle literal-codebook
+        # argmin, plan-pinned); queries score by ADC — the exact L2^2
+        # to the reconstruction, never touching raw corpus vectors.
+        # Codebooks are sub-slices of the 17 deterministic sample
+        # vectors (vec_id % 31 — the semdedup-style replayable form;
+        # xxhash-seeded k-means training exists in code with its
+        # distortion invariant pinned in tests/test_pq.py, but a
+        # DuckDB oracle cannot replay xxhash). The oracle replays
+        # codeword assignment, the per-subspace folds, the j-ordered
+        # outer fold, and the (d2, id) ranking bit-exactly.
+        emb = _pq(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        samples = [
+            list(r.embedding)
+            for r in emb.filter(F.col("vec_id") % 31 == 0)
+            .orderBy("vec_id").collect()
+        ]
+        books = S.pq_codebooks_from_samples(samples, 8)
+        codes = S.pq_encode(emb, books)
+        qs = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        return S.pq_adc_topk(codes, books, qs, k=5)
+
     # Registration ORDER matters: the driver's correctness check walks
     # this dict in insertion order and has covered only a ~50-entry
     # prefix each round (r1: 48, r2-r4: exactly the first 50). Round-5
@@ -1930,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the float fold column) until a prefix slot opens
         "route_lengths": route_lengths_q,
         "osm_pbf_parse": osm_pbf_parse_q,
+        "pq_topk": pq_topk_q,
         # -- r4 driver-green (1 round old), newest first
         "page_links": page_links_q,
         "host_in_links": host_in_links_q,
@@ -3175,6 +3204,57 @@ SELECT 'relation', r.id, NULL, NULL, NULL,
        (SELECT count(*) FROM rel_members m WHERE m.id = r.id),
        CAST(1 AS BIGINT)
 FROM relations r"""
+
+    # PQ ANN: codeword assignment (per-subspace fold-L2 argmin over
+    # the 17 sample codewords), ADC distances (same folds), and the
+    # (d2, id) ranking all replayed bit-exactly — list_reduce folds
+    # run the identical IEEE adds in the identical order, and the
+    # j-ordered outer fold uses list(... ORDER BY j), never SUM()
+    out["pq_topk"] = """WITH
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+smp AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM e WHERE vec_id % 31 = 0
+),
+js AS (SELECT range AS j FROM range(8)),
+sub AS (
+  SELECT e.vec_id AS id, j.j, s.c,
+         list_reduce(list_transform(list_zip(
+             list_slice(e.v, j.j * 8 + 1, j.j * 8 + 8),
+             list_slice(s.cv, j.j * 8 + 1, j.j * 8 + 8)),
+           z -> (z[1] - z[2]) * (z[1] - z[2])),
+           (a, b) -> a + b) AS d2
+  FROM e, js j, smp s
+),
+code AS (
+  SELECT id, j, c FROM (
+    SELECT id, j, c,
+           row_number() OVER (PARTITION BY id, j ORDER BY d2, c) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+qd AS (
+  SELECT q.query_id, j.j, s.c,
+         list_reduce(list_transform(list_zip(
+             list_slice(q.qv, j.j * 8 + 1, j.j * 8 + 8),
+             list_slice(s.cv, j.j * 8 + 1, j.j * 8 + 8)),
+           z -> (z[1] - z[2]) * (z[1] - z[2])),
+           (a, b) -> a + b) AS d2
+  FROM q, js j, smp s
+),
+adc AS (
+  SELECT qd.query_id, c2.id AS neighbor_id,
+         list_reduce(list(qd.d2 ORDER BY qd.j), (a, b) -> a + b)
+           AS d2_adc
+  FROM code c2 JOIN qd ON qd.j = c2.j AND qd.c = c2.c
+  GROUP BY qd.query_id, c2.id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, d2_adc FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY d2_adc, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= 5"""
 
     # route assembly: member-way lengths replayed with the identical
     # way_lengths machinery, then the identical pos-ordered fold —

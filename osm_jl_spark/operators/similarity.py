@@ -312,3 +312,154 @@ def semdedup(
         .select("id", "cluster",
                 F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
     )
+
+
+# ------------------------------------------------ product quantization
+
+def pq_codebooks_from_samples(
+    samples: list[list[float]], m: int
+) -> list[list[list[float]]]:
+    """Codebooks as sub-slices of k deterministic sample vectors —
+    the classic sampling baseline (and the replayable form the
+    oracle-checked query uses: a DuckDB oracle can list_slice the
+    same samples; it cannot replay xxhash-seeded k-means). Returns
+    ``codebooks[j][c]`` = codeword c of subspace j."""
+    d = len(samples[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    s = d // m
+    return [
+        [list(v[j * s:(j + 1) * s]) for v in samples] for j in range(m)
+    ]
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int = 0,
+) -> list[list[list[float]]]:
+    """Trained PQ codebooks: per subspace, ``k`` centroids seeded as
+    hash-group means of the sub-vectors (per-subspace hash salt so
+    subspaces seed independently), then ``refine`` Lloyd iterations —
+    the identical deterministic machinery as :func:`build_ivf`, run m
+    times on slices. Per-subspace distortion is non-increasing in
+    ``refine`` (pinned in tests/test_pq.py). Driver transfer per
+    iteration is the m*k*(d/m) = k*d codeword table — fixed size."""
+    n_dim = len(corpus.select(vec_col).first()[0])
+    if n_dim % m:
+        raise ValueError(f"dim {n_dim} not divisible by m={m} subspaces")
+    s = n_dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    j * s + 1, s).alias("sv"),
+        )
+        seeded = sub.withColumn(
+            "_g", F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(k))
+        )
+        means = _group_means(seeded, "_g", "sv")
+        cents = [means[g] for g in sorted(means)]
+        for _ in range(refine):
+            assigned = sub.withColumn(
+                "_g", _nearest_centroid(F.col("sv"), cents)["c"]
+            )
+            means = _group_means(assigned, "_g", "sv")
+            cents = [means.get(ci, cents[ci]) for ci in range(len(cents))]
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes ARRAY<INT>): each vector compressed to m subspace
+    codeword ids — d floats become m small ints (16x at d=64, m=8,
+    k<=256). Assignment is squared-L2 argmin per subspace against the
+    in-plan literal codebooks (ties -> lowest code, the
+    _nearest_centroid contract), so encoding is a ZERO-SHUFFLE narrow
+    map over the corpus — the same scale signature as the minhash
+    signatures (plan-pinned in tests/test_pq.py). At 10^12 vectors
+    the codes column is what ships to the ANN serving tier; raw
+    vectors stay in cold storage."""
+    s = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(*[
+        _nearest_centroid(F.slice(v, j * s + 1, s), codebooks[j])["c"]
+        .cast("int")
+        for j in range(len(codebooks))
+    ])
+    return corpus.select(
+        F.col(id_col).alias("id"), codes.alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: for each query,
+    d2_adc = sum_j ||q_j - codeword(j, codes[j])||² — the exact
+    squared L2 between the query and the RECONSTRUCTED corpus vector
+    (an identity, pinned in tests/test_pq.py), computed WITHOUT ever
+    touching the raw corpus vectors. Returns (query_id, neighbor_id,
+    rank, d2_adc); ties break by (d2_adc asc, neighbor_id asc).
+
+    Plan: the m*k codeword table is an in-plan nested literal; the
+    broadcast query side crosses the codes column and the per-pair
+    cost is m table lookups + m small dot folds — no shuffle of the
+    codes table, one window for the ranking. The j-th subspace fold
+    and the outer j-fold are both LEFT-TO-RIGHT from 0.0, so the
+    DuckDB oracle replays the arithmetic bit-exactly."""
+    mm = len(codebooks)
+    s = len(codebooks[0][0])
+    cb = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in cw])
+            for cw in codebooks[j]
+        ])
+        for j in range(mm)
+    ])
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("qv"),
+    )
+    paired = codes.crossJoin(F.broadcast(q)).withColumn("_cb", cb)
+
+    def subdist(acc, j):
+        cw = F.element_at(
+            F.element_at(F.col("_cb"), (j + 1).cast("int")),
+            (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1)
+            .cast("int"),
+        )
+        qsub = F.slice(F.col("qv"), j * F.lit(s) + 1, s)
+        diff = F.zip_with(qsub, cw, lambda a, b: a - b)
+        return acc + _dot(diff, diff)
+
+    d2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(mm - 1)), F.lit(0.0), subdist
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2_adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        paired.select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            d2.alias("d2_adc"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2_adc")
+    )

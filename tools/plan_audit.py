@@ -202,6 +202,13 @@ AUDITED = [
      "projection (like quadkey_tiles); the rollup reuses "
      "quadkey_rollup's two uniform salted exchanges - the prefix "
      "machinery is index-family-agnostic"),
+    ("pq_topk", "product-quantization ANN: encode is a ZERO-SHUFFLE "
+     "narrow map (literal-codebook argmin per subspace — the minhash-"
+     "signature scale signature, plan-pinned); ADC scoring crosses "
+     "the broadcast query side with the codes column only (raw "
+     "vectors never read), m table lookups + small dot folds per "
+     "pair, one ranking window; 16x column compression is what ships "
+     "to the serving tier at 10^12 vectors"),
     ("osm_pbf_parse", "splittable OSM PBF ingest: the driver walks "
      "only the blob header chain (metadata, O(blob count) tiny "
      "reads); one decode task per independently-decodable zlib blob "

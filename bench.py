@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "tfidf_top_terms",
     "embedding_knn",
+    "pq_topk",
     "text_quality",
     "tpch_q1",
     "events_top3",

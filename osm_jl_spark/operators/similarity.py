@@ -374,6 +374,34 @@ def pq_train_codebooks(
     return books
 
 
+def _argmin_codeword(sub_col, codebook_j: list[list[float]]):
+    """Codeword id of the squared-L2-nearest codeword — ONE fold over
+    the literal codeword array (ties -> lowest id, the
+    _nearest_centroid contract). Unrolling one expression per codeword
+    (what _nearest_centroid does, fine at IVF's 16 centroids) blows
+    the expression tree quadratically at PQ codebook sizes: 65
+    codewords x 8 subspaces measured 26 s of analysis/codegen for a
+    2,000-row encode; this fold form keeps the tree O(subspaces) and
+    the same plan shape."""
+    cb = F.array(*[
+        F.struct(
+            F.lit(ci).alias("c"),
+            F.array(*[F.lit(float(x)) for x in cw]).alias("cv"),
+        )
+        for ci, cw in enumerate(codebook_j)
+    ])
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).alias("c")
+    )
+
+    def step(best, e):
+        diff = F.zip_with(sub_col, e["cv"], lambda a, b: a - b)
+        cand = F.struct(_dot(diff, diff).alias("d"), e["c"].alias("c"))
+        return F.least(best, cand)
+
+    return F.aggregate(cb, init, step)
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -392,7 +420,7 @@ def pq_encode(
     s = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
     codes = F.array(*[
-        _nearest_centroid(F.slice(v, j * s + 1, s), codebooks[j])["c"]
+        _argmin_codeword(F.slice(v, j * s + 1, s), codebooks[j])["c"]
         .cast("int")
         for j in range(len(codebooks))
     ])

@@ -1858,6 +1858,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("tags").cast("long").alias("n_tags"),
         )
 
+    def fetch_schedule_q(spark, sf_dir):
+        # crawl-frontier politeness scheduling (operators/web.py:
+        # fetch_schedule): the extracted link targets become the
+        # frontier (priority = first anchor position), each host's
+        # urls serialize 15 s apart from epoch 1700000000. Exact
+        # integer schedule; the oracle replays the dedup-min, the
+        # (priority, url) per-host ranking, and the slot arithmetic
+        # over the SAME arithmetic pages_links CTE as page_links.
+        from osm_jl_spark.operators.links import extract_links
+
+        frontier = extract_links(_pages(spark, sf_dir)).select(
+            F.col("href").alias("url"),
+            F.col("dst_host").alias("host"),
+            F.col("link_idx").alias("priority"),
+        )
+        from osm_jl_spark.operators.web import fetch_schedule
+
+        return fetch_schedule(
+            frontier, delay_sec=15, start_epoch=1700000000
+        )
+
     def pq_topk_q(spark, sf_dir):
         # product-quantization ANN (operators/similarity.py): vectors
         # compress to 8 codeword ids (zero-shuffle literal-codebook
@@ -1959,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_lengths": route_lengths_q,
         "osm_pbf_parse": osm_pbf_parse_q,
         "pq_topk": pq_topk_q,
+        "fetch_schedule": fetch_schedule_q,
         # -- r4 driver-green (1 round old), newest first
         "page_links": page_links_q,
         "host_in_links": host_in_links_q,
@@ -3204,6 +3226,26 @@ SELECT 'relation', r.id, NULL, NULL, NULL,
        (SELECT count(*) FROM rel_members m WHERE m.id = r.id),
        CAST(1 AS BIGINT)
 FROM relations r"""
+
+    # politeness scheduling: dedup-min + per-host (priority, url)
+    # ranking + slot arithmetic replayed over the same arithmetic
+    # pages_links CTE — all exact integers and lexicographic ties
+    out["fetch_schedule"] = f"""WITH {pages},
+best AS (
+  SELECT dst_host AS host, href AS url,
+         min(link_idx) AS pri
+  FROM pages_links GROUP BY 1, 2
+),
+ranked AS (
+  SELECT url, host,
+         CAST(row_number() OVER (
+           PARTITION BY host ORDER BY pri, url) - 1 AS INT) AS slot
+  FROM best
+)
+SELECT url, host, slot,
+       CAST(1700000000 AS BIGINT) + CAST(slot AS BIGINT) * 15
+         AS fetch_at
+FROM ranked"""
 
     # PQ ANN: codeword assignment (per-subspace fold-L2 argmin over
     # the 17 sample codewords), ADC distances (same folds), and the

@@ -236,3 +236,53 @@ def approx_domain_stats(
             ).alias("distinct_hosts_est"),
         )
     )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delay_sec: int = 1,
+    start_epoch: int = 0,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Per-host politeness scheduling — the crawl-frontier primitive
+    between link extraction and fetching: each host's urls serialize
+    ``delay_sec`` apart (crawl-delay), best-priority first. Returns
+    (url, host, slot, fetch_at) with ``slot`` the 0-based per-host
+    fetch order and ``fetch_at = start_epoch + slot * delay_sec`` —
+    exact integer arithmetic end to end.
+
+    Semantics: the frontier may propose one url many times (every
+    page linking it); urls dedup to their BEST (lowest) priority
+    first — a map-side-combinable min — then order per host by
+    (priority, url), ties lexicographic so the schedule is total and
+    deterministic.
+
+    Scale shape: one min-combine shuffle on (host, url), then one
+    per-host window. The window puts each host's frontier in one
+    task — bounded by that host's OWN frontier size, which politeness
+    itself caps in practice (a host fetched every delay_sec seconds
+    only ever has horizon/delay_sec urls worth scheduling; re-shard
+    the frontier by fetch horizon before scheduling if a pathological
+    host accumulates more). Same per-group-window bound as
+    events_sessionize.
+    """
+    best = (
+        frontier.groupBy(F.col(host_col).alias("host"),
+                         F.col(url_col).alias("url"))
+        .agg(F.min(priority_col).alias("_pri"))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("_pri").asc(), F.col("url").asc()
+    )
+    slot = (F.row_number().over(w) - 1).cast("int")
+    return (
+        best.withColumn("slot", slot)
+        .select(
+            "url", "host", "slot",
+            (F.lit(int(start_epoch)).cast("long")
+             + F.col("slot").cast("long") * F.lit(int(delay_sec)))
+            .alias("fetch_at"),
+        )
+    )

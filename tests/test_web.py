@@ -197,3 +197,30 @@ def test_blocklist_schema_checked_and_reason_col_renameable(spark):
     )
     out = blocklist_filter(docs, bl, reason_col="why")
     assert out.first()["block_reason"] == "listed"
+
+
+def test_fetch_schedule_politeness(spark):
+    """Per-host serialization: slots 0..n-1 with no gaps, fetch_at
+    spaced exactly delay apart, duplicate frontier entries collapse
+    to their best priority, and the order is (priority, url)."""
+    from pyspark.sql import Row
+
+    from osm_jl_spark.operators.web import fetch_schedule
+
+    frontier = spark.createDataFrame([
+        Row(url="a.com/1", host="a.com", priority=5),
+        Row(url="a.com/1", host="a.com", priority=2),  # dup: min wins
+        Row(url="a.com/2", host="a.com", priority=2),  # tie -> url order
+        Row(url="a.com/3", host="a.com", priority=1),
+        Row(url="b.org/x", host="b.org", priority=9),
+    ])
+    out = {r.url: r for r in
+           fetch_schedule(frontier, delay_sec=10, start_epoch=100)
+           .collect()}
+    assert len(out) == 4
+    # a.com order: priority 1 first, then the pri-2 tie by url
+    assert out["a.com/3"].slot == 0 and out["a.com/3"].fetch_at == 100
+    assert out["a.com/1"].slot == 1 and out["a.com/1"].fetch_at == 110
+    assert out["a.com/2"].slot == 2 and out["a.com/2"].fetch_at == 120
+    # b.org schedules independently from slot 0
+    assert out["b.org/x"].slot == 0 and out["b.org/x"].fetch_at == 100

@@ -202,6 +202,12 @@ AUDITED = [
      "projection (like quadkey_tiles); the rollup reuses "
      "quadkey_rollup's two uniform salted exchanges - the prefix "
      "machinery is index-family-agnostic"),
+    ("fetch_schedule", "crawl-frontier politeness scheduling: one "
+     "min-combine shuffle on (host, url) dedups the frontier, one "
+     "per-host window serializes fetches delay_sec apart — each "
+     "host's window task is bounded by its own frontier, which "
+     "politeness itself caps (horizon/delay urls); exact integer "
+     "fetch_at arithmetic"),
     ("pq_topk", "product-quantization ANN: encode is a ZERO-SHUFFLE "
      "narrow map (literal-codebook argmin per subspace — the minhash-"
      "signature scale signature, plan-pinned); ADC scoring crosses "

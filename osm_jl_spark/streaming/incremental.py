@@ -26,6 +26,9 @@ parity requirement. Two pieces:
   document scored against a fixed Bloom filter of the eval set,
   embedded as a plan-constant word array; a pure STATELESS projection
   (no join, no state store), batch parity pinned.
+- ``streaming_fetch_schedule``: crawl-frontier politeness scheduling
+  as a stateful stream — one next-slot counter per host, batch parity
+  pinned under once-per-url ordered arrival.
 - Checkpointed incremental BATCH — the form the north rule's
   resumability actually requires — lives in plans/manifest.py
   (``run_with_manifest``: unit-sliced pipeline, idempotent overwrite,
@@ -408,4 +411,75 @@ def streaming_bloom_filter(
             (F.lit(2) * hits >= n).cast("int").alias("contaminated"),
         )
         .where(F.col("n_shingles") > 0)
+    )
+
+
+def streaming_fetch_schedule(
+    frontier: DataFrame,
+    delay_sec: int = 1,
+    start_epoch: int = 0,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Streaming form of ``operators/web.fetch_schedule`` — the shape
+    a live crawler actually runs: frontier urls stream in, each host's
+    next fetch slots assign incrementally, ``delay_sec`` apart.
+
+    State per host = ONE (next_slot, seen-url hash set? NO —) just the
+    next_slot counter: state tracks hosts, not urls. The batch
+    operator's cross-source dedup-min is therefore scoped to WITHIN a
+    micro-batch here (each batch sorts its new urls by (priority,
+    url), dedups to min priority, then appends to the host's running
+    schedule): exact url-level dedup across the whole stream would
+    need one state row per URL — state proportional to the frontier,
+    the wrong trade on an unbounded crawl (the same argument as
+    ``streaming_host_in_links``' HLL). Upstream ``streaming_exact_
+    dedup`` on the url column is the composition that restores full
+    dedup when the frontier fits the state budget.
+
+    Equivalence contract (pinned by tests/test_streaming_schedule.py):
+    when each url arrives exactly once and per-host arrivals are
+    (priority, url)-ordered across batch boundaries, the emitted
+    schedule equals batch ``fetch_schedule`` row-for-row.
+    """
+    import pandas as pd  # noqa: PLC0415 (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = frontier.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col(priority_col).cast("long").alias("pri"),
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        best: dict[str, int] = {}
+        for pdf in pdf_iter:
+            for u, p in zip(pdf["url"], pdf["pri"]):
+                if pd.notna(p):
+                    p = int(p)
+                    if u not in best or p < best[u]:
+                        best[u] = p
+        next_slot = state.get[0] if state.exists else 0
+        emitted = []
+        for u, p in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+            emitted.append((
+                u, key[0], next_slot,
+                int(start_epoch) + next_slot * int(delay_sec),
+            ))
+            next_slot += 1
+        state.update((next_slot,))
+        if emitted:
+            yield pd.DataFrame(
+                emitted, columns=["url", "host", "slot", "fetch_at"]
+            )
+
+    return src.groupBy("host").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "url STRING, host STRING, slot INT, fetch_at BIGINT"
+        ),
+        stateStructType="next_slot INT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "bloom_contamination",
     "bbox_overlap_join",
     "route_lengths",
+    "fetch_schedule",
     "crawl_asof",
     "page_links",
     "host_in_links",

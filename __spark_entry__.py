@@ -1879,6 +1879,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             frontier, delay_sec=15, start_epoch=1700000000
         )
 
+    def host_triangles_q(spark, sf_dir):
+        # per-host triangle census (operators/links.py:
+        # triangle_census, degree-ordered orientation) over the host
+        # CO-CITATION graph — hosts are adjacent when one page links
+        # both (the direct host graph here is a star: one source
+        # host, no triangles). The oracle counts triangles naively
+        # (canonical a<b<c three-way join) over the same arithmetic
+        # pages_links CTE — an independent formulation of the same
+        # census.
+        from osm_jl_spark.operators.links import (
+            extract_links,
+            triangle_census,
+        )
+
+        lh = (
+            extract_links(_pages(spark, sf_dir))
+            .select("url", "dst_host")
+            .where(F.col("dst_host") != "")
+            .distinct()
+        )
+        co = (
+            lh.alias("l")
+            .join(lh.alias("r"), "url")
+            .where(F.col("l.dst_host") < F.col("r.dst_host"))
+            .select(
+                F.col("l.dst_host").alias("a"),
+                F.col("r.dst_host").alias("b"),
+            )
+        )
+        return triangle_census(co)
+
     def pq_topk_q(spark, sf_dir):
         # product-quantization ANN (operators/similarity.py): vectors
         # compress to 8 codeword ids (zero-shuffle literal-codebook
@@ -1981,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_pbf_parse": osm_pbf_parse_q,
         "pq_topk": pq_topk_q,
         "fetch_schedule": fetch_schedule_q,
+        "host_triangles": host_triangles_q,
         # -- r4 driver-green (1 round old), newest first
         "page_links": page_links_q,
         "host_in_links": host_in_links_q,
@@ -3246,6 +3278,31 @@ SELECT url, host, slot,
        CAST(1700000000 AS BIGINT) + CAST(slot AS BIGINT) * 15
          AS fetch_at
 FROM ranked"""
+
+    # triangle census: the oracle is the NAIVE canonical a<b<c
+    # three-way join over the co-citation edges — independent of the
+    # engine's degree-ordered orientation
+    out["host_triangles"] = f"""WITH {pages},
+lh AS (
+  SELECT DISTINCT url, dst_host FROM pages_links WHERE dst_host <> ''
+),
+co AS (
+  SELECT DISTINCT l.dst_host AS x, r.dst_host AS y
+  FROM lh l JOIN lh r ON l.url = r.url AND l.dst_host < r.dst_host
+),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM co e1
+  JOIN co e2 ON e2.x = e1.y
+  JOIN co e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+u AS (
+  SELECT a AS host FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
+FROM u GROUP BY host"""
 
     # PQ ANN: codeword assignment (per-subspace fold-L2 argmin over
     # the 17 sample codewords), ADC distances (same folds), and the

@@ -200,3 +200,73 @@ def pagerank_scaled(
             .localCheckpoint(eager=False)
         )
     return r
+
+
+def triangle_census(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Exact per-vertex triangle counts of an undirected graph:
+    (host, n_triangles) for every vertex in at least one triangle —
+    the classic cohesion signal (spam farms and link rings are
+    triangle-dense; editorial link neighborhoods are sparse).
+
+    Input is a directed/duplicated edge list; self-loops drop and
+    (a,b)/(b,a) duplicates collapse to one undirected edge first.
+
+    Scale shape — degree-ordered orientation (the standard
+    distributed triangle algorithm): every undirected edge orients
+    from its lower-(degree, id) endpoint to the higher, which caps
+    any vertex's OUT-degree at O(sqrt(m)) regardless of how hot a
+    hub is, so the wedge self-join — the quadratic step — is bounded
+    by sum(out_deg^2) <= m^1.5, never hub_degree^2. The degree table
+    is vertex-dimension-sized and BROADCASTS; wedges close into
+    triangles via one equi-join back on the oriented edge list; each
+    triangle forms exactly once (its endpoints appear in one total
+    order). Per-vertex counts are one explode + map-side-combinable
+    count.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    und = (
+        edges.select(
+            F.least(a, b).alias("x"), F.greatest(a, b).alias("y")
+        )
+        .where((F.col("x") != F.col("y"))
+               & (F.col("x") != "") & (F.col("y") != ""))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("x", "y")).alias("h"))
+        .groupBy("h").agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        und.join(F.broadcast(deg).withColumnRenamed("h", "x")
+                 .withColumnRenamed("d", "dx"), "x")
+        .join(F.broadcast(deg).withColumnRenamed("h", "y")
+              .withColumnRenamed("d", "dy"), "y")
+    )
+    kx = F.struct(F.col("dx").alias("d"), F.col("x").alias("h"))
+    ky = F.struct(F.col("dy").alias("d"), F.col("y").alias("h"))
+    oriented = e.select(
+        F.when(kx < ky, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(kx < ky, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(kx < ky, ky).otherwise(kx).alias("kv"),
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .where(F.col("e1.kv") < F.col("e2.kv"))
+        .select(
+            F.col("e1.u").alias("u"),
+            F.col("e1.v").alias("v"),
+            F.col("e2.v").alias("w"),
+        )
+    )
+    closer = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tris = wedges.join(closer, ["v", "w"], "left_semi")
+    return (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

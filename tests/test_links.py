@@ -131,3 +131,49 @@ def test_pagerank_scaled_rejects_outdegree_over_two(spark):
     )
     with pytest.raises(Exception, match="out-degree"):
         pagerank_scaled(edges, nodes, iters=1).collect()
+
+
+def test_triangle_census_matches_naive(spark):
+    """Degree-ordered orientation must count exactly what the naive
+    O(V^3) enumeration counts — on a seeded random multigraph with
+    self-loops, duplicates, and reversed edges thrown in."""
+    import itertools
+    import random
+
+    from osm_jl_spark.operators.links import triangle_census
+
+    rng = random.Random(7)
+    verts = [f"v{i}" for i in range(30)]
+    edges = [(rng.choice(verts), rng.choice(verts)) for _ in range(150)]
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj: dict[str, set] = {}
+    for x, y in und:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    naive: dict[str, int] = {}
+    for x, y, z in itertools.combinations(
+        sorted({v for e in und for v in e}), 3
+    ):
+        if (y in adj.get(x, ()) and z in adj.get(x, ())
+                and z in adj.get(y, ())):
+            for v in (x, y, z):
+                naive[v] = naive.get(v, 0) + 1
+    got = {r.host: r.n_triangles for r in triangle_census(
+        spark.createDataFrame(edges, "a STRING, b STRING")).collect()}
+    assert got == naive
+    assert sum(naive.values()) > 0  # the graph actually has triangles
+
+
+def test_triangle_census_known_graphs(spark):
+    import itertools
+
+    from osm_jl_spark.operators.links import triangle_census
+
+    k4 = [(a, b) for a, b in
+          itertools.combinations(["a", "b", "c", "d"], 2)]
+    out = {r.host: r.n_triangles for r in triangle_census(
+        spark.createDataFrame(k4, "a STRING, b STRING")).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert triangle_census(
+        spark.createDataFrame(path, "a STRING, b STRING")).count() == 0

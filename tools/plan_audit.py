@@ -202,6 +202,12 @@ AUDITED = [
      "projection (like quadkey_tiles); the rollup reuses "
      "quadkey_rollup's two uniform salted exchanges - the prefix "
      "machinery is index-family-agnostic"),
+    ("host_triangles", "triangle census via degree-ordered "
+     "orientation: every edge points low-(degree,id) -> high, capping "
+     "any vertex's out-degree at O(sqrt(m)) — the wedge self-join is "
+     "bounded by m^1.5, never hub_degree^2; the degree table "
+     "broadcasts (vertex-dimension-sized); wedges close with one "
+     "left-semi equi-join; per-vertex counts map-side combine"),
     ("fetch_schedule", "crawl-frontier politeness scheduling: one "
      "min-combine shuffle on (host, url) dedups the frontier, one "
      "per-host window serializes fetches delay_sec apart — each "

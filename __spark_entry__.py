@@ -1887,7 +1887,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # host, no triangles). The oracle counts triangles naively
         # (canonical a<b<c three-way join) over the same arithmetic
         # pages_links CTE — an independent formulation of the same
-        # census.
+        # census. Scale note: the synthetic link arithmetic yields a
+        # circulant-like pair graph whose triangle count is
+        # n_docs-dependent — 53 triangle-bearing hosts at the gate's
+        # sf0.01, ZERO at sf0.1 (difference classes there don't close
+        # mod 53) — so this query is gate-checked, not benched; the
+        # operator's general correctness is pinned on seeded random
+        # multigraphs in tests/test_links.py.
         from osm_jl_spark.operators.links import (
             extract_links,
             triangle_census,

@@ -365,3 +365,54 @@ def test_doc_repetition_two_exchanges(spark):
     plan = explain(doc_repetition(docs))
     assert count_nodes(plan, "Exchange") == 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fetch_schedule_two_exchanges_one_window(spark):
+    """fetch_schedule's scale contract: ONE min-combine exchange for
+    the frontier dedup plus ONE window exchange per host — nothing
+    else, no join, no Python."""
+    from pyspark.sql import Row
+
+    from osm_jl_spark.operators.web import fetch_schedule
+
+    fr = spark.createDataFrame(
+        [Row(url=f"h{i % 3}.net/{i}", host=f"h{i % 3}.net", priority=i)
+         for i in range(30)]
+    )
+    plan = explain(fetch_schedule(fr))
+    assert count_nodes(plan, "Exchange") == 2, plan
+    assert count_nodes(plan, "Window") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_triangle_census_no_cartesian_no_python(spark):
+    """triangle_census closes wedges with equi-joins only: whatever
+    join strategy AQE picks per scale, there must never be a
+    cartesian product, a nested loop, or Python in the plan."""
+    from pyspark.sql import Row
+
+    from osm_jl_spark.operators.links import triangle_census
+
+    ed = spark.createDataFrame(
+        [Row(a=f"v{i % 7}", b=f"v{(i * 3) % 7}") for i in range(20)]
+    )
+    plan = explain(triangle_census(ed))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_route_lengths_single_waynodes_shuffle_chain(spark):
+    """route_lengths rides way_lengths' one J1 join + regroup and adds
+    only the member explode + one reassembly aggregate — and never a
+    Python operator (the haversine fold is native array math)."""
+    from osm_jl_spark import datagen as G
+    from osm_jl_spark.operators.joins import route_lengths
+
+    nodes = G.load_nodes(spark, 200)
+    ways = G.load_ways(spark, 60, 200)
+    rels = G.load_relations(spark, 30, 60, 200)
+    plan = explain(route_lengths(rels, ways, nodes))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan

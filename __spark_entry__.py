@@ -1916,6 +1916,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return triangle_census(co)
 
+    def link_hits_q(spark, sf_dir):
+        # HITS hubs & authorities over the same document link graph
+        # as link_pagerank, as UNNORMALIZED exact-integer power
+        # iterations (operators/links.py:hits_scores — normalization
+        # is a positive scalar and never changes the ranking, so the
+        # integer form ranks identically while staying hash-exact).
+        # Two iterations, Kleinberg update order; the oracle unrolls
+        # the identical joins in BIGINT SQL.
+        from osm_jl_spark.operators.links import extract_links, hits_scores
+
+        links = extract_links(_pages(spark, sf_dir))
+        edges = links.select(
+            F.regexp_extract("url", r"/p/([0-9]+)$", 1)
+            .cast("long").alias("src"),
+            F.regexp_extract("href", r"/d/([0-9]+)$", 1)
+            .cast("long").alias("dst"),
+        )
+        return hits_scores(edges, iters=2)
+
     def pq_topk_q(spark, sf_dir):
         # product-quantization ANN (operators/similarity.py): vectors
         # compress to 8 codeword ids (zero-shuffle literal-codebook
@@ -2019,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": pq_topk_q,
         "fetch_schedule": fetch_schedule_q,
         "host_triangles": host_triangles_q,
+        "link_hits": link_hits_q,
         # -- r4 driver-green (1 round old), newest first
         "page_links": page_links_q,
         "host_in_links": host_in_links_q,
@@ -3284,6 +3304,42 @@ SELECT url, host, slot,
        CAST(1700000000 AS BIGINT) + CAST(slot AS BIGINT) * 15
          AS fetch_at
 FROM ranked"""
+
+    # HITS: two unnormalized integer power iterations unrolled — the
+    # node set is the edge-endpoint union (hits_scores' contract),
+    # a1 = in-degree (h0 = 1), h1 = sum of a1 over out-edges, etc.
+    out["link_hits"] = f"""WITH {pages},
+e AS (SELECT i AS src, dst FROM pages_links),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+a1 AS (
+  SELECT n.node,
+         CAST(coalesce((SELECT count(*) FROM e WHERE e.dst = n.node),
+                       0) AS BIGINT) AS a
+  FROM nodes n
+),
+h1 AS (
+  SELECT n.node, CAST(coalesce(sum(x.a), 0) AS BIGINT) AS h
+  FROM nodes n
+  LEFT JOIN e ON e.src = n.node
+  LEFT JOIN a1 x ON x.node = e.dst
+  GROUP BY n.node
+),
+a2 AS (
+  SELECT n.node, CAST(coalesce(sum(x.h), 0) AS BIGINT) AS a
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN h1 x ON x.node = e.src
+  GROUP BY n.node
+),
+h2 AS (
+  SELECT n.node, CAST(coalesce(sum(x.a), 0) AS BIGINT) AS h
+  FROM nodes n
+  LEFT JOIN e ON e.src = n.node
+  LEFT JOIN a2 x ON x.node = e.dst
+  GROUP BY n.node
+)
+SELECT h2.node, h2.h AS hub, a2.a AS auth
+FROM h2 JOIN a2 ON a2.node = h2.node"""
 
     # triangle census: the oracle is the NAIVE canonical a<b<c
     # three-way join over the co-citation edges — independent of the

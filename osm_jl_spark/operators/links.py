@@ -270,3 +270,70 @@ def triangle_census(
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities over a directed edge multiset, as
+    UNNORMALIZED exact-integer power iterations: h_0 = a_0 = 1; then
+    per iteration a_t(v) = sum over in-edges (u,v) of h_{t-1}(u) and
+    h_t(u) = sum over out-edges (u,v) of a_t(v) — Kleinberg's update
+    order (authorities from the previous hubs, hubs from the fresh
+    authorities). Returns (node, hub, auth) BIGINTs.
+
+    Why no normalization: the textbook per-iteration L2 normalization
+    is a positive scalar multiple, and scalar multiples never change
+    the RANKING — the quantity HITS exists to produce. Dropping it
+    keeps every score an exact path-count integer, so the DuckDB
+    oracle unrolls the same joins and matches hash-exactly — the same
+    design as pagerank_scaled's integer form (links.py above), minus
+    even the divides-2 precondition since no division exists at all.
+    Magnitude grows ~(max_degree^2)^iters: at web-ish degrees keep
+    ``iters`` small (ranks stabilize in a few iterations); ANSI mode
+    errors loudly on int64 overflow rather than wrapping.
+
+    Per iteration: one join shuffle + one map-side-combinable
+    aggregation per direction (the pagerank shape, twice);
+    localCheckpoint bounds lineage.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    a = nodes.select("node", F.lit(1).cast("long").alias("a"))
+    for _ in range(iters):
+        a_sum = (
+            e.join(h, e["src"] == h["node"])
+            .groupBy("dst").agg(F.sum("h").alias("s"))
+        )
+        a = (
+            nodes.join(a_sum, nodes["node"] == a_sum["dst"], "left")
+            .select("node",
+                    F.coalesce(F.col("s"), F.lit(0)).cast("long")
+                    .alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        h_sum = (
+            e.join(a, e["dst"] == a["node"])
+            .groupBy("src").agg(F.sum("a").alias("s"))
+        )
+        h = (
+            nodes.join(h_sum, nodes["node"] == h_sum["src"], "left")
+            .select("node",
+                    F.coalesce(F.col("s"), F.lit(0)).cast("long")
+                    .alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        h.join(a, "node")
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("auth"))
+    )

@@ -202,6 +202,12 @@ AUDITED = [
      "projection (like quadkey_tiles); the rollup reuses "
      "quadkey_rollup's two uniform salted exchanges - the prefix "
      "machinery is index-family-agnostic"),
+    ("link_hits", "HITS hubs/authorities as unnormalized integer "
+     "power iterations: one join shuffle + one map-side-combinable "
+     "aggregation per direction per iteration (the pagerank shape "
+     "twice), localCheckpointed lineage; normalization dropped "
+     "because it is a positive scalar that never changes the ranking "
+     "— every score stays an exact path-count BIGINT"),
     ("host_triangles", "triangle census via degree-ordered "
      "orientation: every edge points low-(degree,id) -> high, capping "
      "any vertex's out-degree at O(sqrt(m)) — the wedge self-join is "

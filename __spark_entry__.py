@@ -1916,6 +1916,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return triangle_census(co)
 
+    def temperature_sample_q(spark, sf_dir):
+        # temperature-based multilingual rebalancing (operators/
+        # sampling.py: temperature_sample, the XLM-R/mT5 sampler) at
+        # alpha = 0.5: keep-prob per lang = (sqrt(n_l)/n_l) scaled so
+        # the largest is 1; membership = the same 60-bit md5 rank as
+        # hash_sample under an integer threshold. alpha = 0.5 uses
+        # only correctly-rounded IEEE ops (sqrt, divide, multiply),
+        # so the DuckDB oracle computes the IDENTICAL thresholds from
+        # identical counts and the sample matches bit for bit.
+        from osm_jl_spark.operators.sampling import temperature_sample
+
+        docs = _pq(spark, sf_dir, "documents").select("doc_id", "lang")
+        return temperature_sample(docs)
+
     def link_hits_q(spark, sf_dir):
         # HITS hubs & authorities over the same document link graph
         # as link_pagerank, as UNNORMALIZED exact-integer power
@@ -2039,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": fetch_schedule_q,
         "host_triangles": host_triangles_q,
         "link_hits": link_hits_q,
+        "temperature_sample": temperature_sample_q,
         # -- r4 driver-green (1 round old), newest first
         "page_links": page_links_q,
         "host_in_links": host_in_links_q,
@@ -3304,6 +3319,26 @@ SELECT url, host, slot,
        CAST(1700000000 AS BIGINT) + CAST(slot AS BIGINT) * 15
          AS fetch_at
 FROM ranked"""
+
+    # temperature sampling: thresholds rebuilt from identical counts
+    # with identical correctly-rounded IEEE ops (sqrt/divide/multiply
+    # at alpha=0.5), then the same md5 rank filter as hash_sample;
+    # trunc() in DuckDB == floor() in Spark on these >= 0 ratios
+    out["temperature_sample"] = f"""WITH
+d AS (SELECT doc_id, lang FROM documents),
+n AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+r AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) / n AS r FROM n),
+mx AS (SELECT max(r) AS mx FROM r),
+thr AS (
+  SELECT lang,
+         CAST(trunc((r / mx) * CAST({1 << 60} AS DOUBLE)) AS BIGINT)
+           AS thr
+  FROM r, mx
+)
+SELECT d.doc_id, d.lang
+FROM d JOIN thr t ON t.lang = d.lang
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) < t.thr"""
 
     # HITS: two unnormalized integer power iterations unrolled — the
     # node set is the edge-endpoint union (hits_scores' contract),

@@ -65,3 +65,71 @@ def stratified_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    lang_col: str = "lang",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based multilingual rebalancing (the XLM-R/mT5
+    sampler): keep language ``l`` with probability proportional to
+    ``n_l^alpha / n_l``, scaled so the largest resulting rate is 1 —
+    low-resource languages keep (nearly) everything, the head
+    language downsamples toward the ``alpha``-tempered distribution.
+    ``alpha=1`` keeps everything; ``alpha=0`` equalizes expected
+    per-language counts (to the smallest language's size).
+
+    Determinism/exactness contract: membership is hash(id) <
+    trunc(p_l * 2^60) — the same 60-bit md5 rank as
+    :func:`hash_sample`, so the sample is reproducible across reruns
+    and partitionings AND bit-identical in a DuckDB oracle. For the
+    default ``alpha=0.5``, p_l = (sqrt(n_l)/n_l) / max_m(...) uses
+    only IEEE-correctly-rounded ops (sqrt, divide, multiply), so both
+    engines compute the identical threshold from identical counts —
+    no float tolerance anywhere. Non-(0.5|1|0) alphas use pow(), which
+    is NOT correctly rounded across libms; the oracle-checked query
+    pins alpha=0.5 and the docstring warns general alphas are
+    deterministic within one engine only.
+
+    Plan: one map-side-combinable count per language (dimension-
+    sized), thresholds broadcast back, then the same zero-shuffle
+    narrow keep-filter as hash_sample — the 100 TB side never
+    shuffles.
+    """
+    if alpha == 1.0:
+        w_over_n = F.lit(1.0)
+    elif alpha == 0.5:
+        w_over_n = F.sqrt(F.col("n").cast("double")) / F.col("n")
+    elif alpha == 0.0:
+        w_over_n = F.lit(1.0) / F.col("n")
+    else:
+        w_over_n = (
+            F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+            / F.col("n")
+        )
+    rates = (
+        df.groupBy(F.col(lang_col).alias("_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_r", w_over_n)
+    )
+    mx = rates.agg(F.max("_r").alias("_mx"))
+    thresholds = (
+        rates.crossJoin(F.broadcast(mx))
+        .select(
+            "_lang",
+            # floor == trunc-toward-zero here (the ratio is >= 0);
+            # Spark's `trunc` is the DATE function, hence floor
+            F.expr(f"CAST(floor((_r / _mx) * CAST({HASH_SPACE} AS "
+                   "DOUBLE)) AS BIGINT)").alias("_thr"),
+        )
+    )
+    return (
+        df.join(
+            F.broadcast(thresholds),
+            df[lang_col] == thresholds["_lang"],
+        )
+        .filter(_rank_hash(id_col) < F.col("_thr"))
+        .drop("_lang", "_thr")
+    )

@@ -65,3 +65,43 @@ def test_stratified_sample_small_stratum_kept_whole(spark):
     out = stratified_sample(d, ["lang"], k=50).collect()
     n2 = sum(1 for r in out if r["lang"] == "lang2")
     assert n2 == 3  # doc_id 2, 5, 8 — all of them
+
+
+def test_temperature_sample_properties(spark):
+    """alpha=1 keeps everything; alpha=0.5 downsamples the head
+    language hardest while the smallest language keeps everything
+    (its w/n ratio is the max, threshold = full hash space); kept
+    sets are deterministic (a rerun returns the identical rows)."""
+    from osm_jl_spark.operators.sampling import temperature_sample
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    n_by = {r.lang: r["count"]
+            for r in docs.groupBy("lang").count().collect()}
+    assert temperature_sample(docs, alpha=1.0).count() == docs.count()
+
+    kept = temperature_sample(docs, alpha=0.5)
+    k_by = {r.lang: r["count"]
+            for r in kept.groupBy("lang").count().collect()}
+    smallest = min(n_by, key=lambda x: (n_by[x], x))
+    biggest = max(n_by, key=lambda x: (n_by[x], x))
+    assert k_by[smallest] == n_by[smallest]  # max-ratio lang keeps all
+    assert k_by[biggest] < n_by[biggest]     # head downsamples
+    # exact membership: replay the threshold arithmetic and md5 rank
+    # in Python (same IEEE doubles, same hash) — the kept set must
+    # match bit for bit, which also proves rerun determinism
+    import hashlib
+    import math
+
+    ratios = {g: math.sqrt(float(n)) / n for g, n in n_by.items()}
+    mx = max(ratios.values())
+    thr = {g: int((r / mx) * float(1 << 60)) for g, r in ratios.items()}
+
+    def rank(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:15], 16)
+
+    want = {r.doc_id for r in docs.collect()
+            if rank(r.doc_id) < thr[r.lang]}
+    assert {r.doc_id for r in kept.collect()} == want

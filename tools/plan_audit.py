@@ -202,6 +202,12 @@ AUDITED = [
      "projection (like quadkey_tiles); the rollup reuses "
      "quadkey_rollup's two uniform salted exchanges - the prefix "
      "machinery is index-family-agnostic"),
+    ("temperature_sample", "XLM-R temperature rebalancing: one "
+     "map-side-combinable per-lang count (dimension-sized), "
+     "thresholds broadcast back, then the same zero-shuffle md5-rank "
+     "keep filter as hash_sample — the corpus side never shuffles; "
+     "alpha=0.5 thresholds use only correctly-rounded IEEE ops so "
+     "membership is bit-reproducible cross-engine"),
     ("link_hits", "HITS hubs/authorities as unnormalized integer "
      "power iterations: one join shuffle + one map-side-combinable "
      "aggregation per direction per iteration (the pagerank shape "

@@ -2042,11 +2042,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparse_points": geoparse_points_q,
         "osm_xml_parse": osm_xml_q,
         "osm_xml_file_parse": osm_xml_file_q,
-        # -- position 50: the 50-entry r5 prefix is exactly full (7 new
-        # r5 queries + the 43-query r3 tail), so this round-5 addition
-        # waits at the prefix boundary — PENDING its first driver check,
-        # carried by the local gate replica (PASS hash-exact, including
-        # the float fold column) until a prefix slot opens
+        # -- positions 50+: the 50-entry r5 prefix is exactly full (7
+        # new r5 queries + the 43-query r3 tail), so these later
+        # round-5 additions wait at the prefix boundary — PENDING
+        # their first driver check, each carried by the local gate
+        # replica (ALL PASS hash-exact; `tools/check_correctness.py
+        # --stale` reports them as PENDING, distinct from stale)
         "route_lengths": route_lengths_q,
         "osm_pbf_parse": osm_pbf_parse_q,
         "pq_topk": pq_topk_q,

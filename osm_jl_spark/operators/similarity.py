@@ -449,10 +449,12 @@ def pq_adc_topk(
     per-query-row projection against the in-plan literal codebooks),
     and the broadcast query side then crosses the codes column with
     per-pair cost of just m table LOOKUPS + (m-1) adds — no codeword
-    arithmetic per pair. (The first spelling rebuilt the nested
-    codeword literal and re-derived sub-distances per PAIR: measured
-    3.6 s vs ~0.9 s for the same 20k pairs — the table form is why
-    real PQ implementations precompute dtab.) No shuffle of the codes
+    arithmetic per pair, which is why real PQ implementations
+    precompute dtab. (Measured on the registered query at sf0.1,
+    warm min: per-pair codeword arithmetic 11.5 s; dtab UNROLLED one
+    expression per entry 21.1 s — expression-tree blowup, the same
+    failure the encode fix removed; dtab via per-subspace transform
+    lambdas 9.8 s — this form.) No shuffle of the codes
     table, one window for the ranking. The per-entry subspace fold
     and the outer j-fold are both LEFT-TO-RIGHT from 0.0 and the
     table entries are the IDENTICAL doubles the per-pair form

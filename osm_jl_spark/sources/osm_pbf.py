@@ -295,12 +295,38 @@ def _decode_block(payload: bytes) -> list[dict]:
     return rows
 
 
+_SUPPORTED_FEATURES = {"OsmSchema-V0.6", "DenseNodes"}
+
+
+def _check_header(path: str, header_blob: dict) -> None:
+    """Fail fast on a file this decoder cannot decode FAITHFULLY: the
+    OSMHeader's required_features (field 4) is the format's own
+    contract — e.g. 'HistoricalInformation' files carry per-element
+    visibility/versions that this non-history decoder would silently
+    misreport as visible=True. Optional_features (field 5) are, per
+    spec, safe to ignore."""
+    with open(path, "rb") as fh:
+        fh.seek(header_blob["offset"])
+        payload = _blob_payload(fh.read(header_blob["size"]))
+    for field, _, v in _fields(payload):
+        if field == 4:
+            feat = v.decode("utf-8")
+            if feat not in _SUPPORTED_FEATURES:
+                raise ValueError(
+                    f"PBF requires unsupported feature {feat!r} "
+                    f"(supported: {sorted(_SUPPORTED_FEATURES)})")
+
+
 def parse_pbf(spark: SparkSession, path: str) -> DataFrame:
     """Splittable PBF ingest: elements DataFrame (ELEMENTS_SCHEMA),
     one decode task per OSMData blob. ``split_elements`` (osm_xml.py)
     recovers the Data triple. Path must be executor-visible (shared
     storage), the same contract as parse_osm_file."""
-    blobs = [b for b in pbf_blob_index(path) if b["type"] == "OSMData"]
+    index = pbf_blob_index(path)
+    for b in index:
+        if b["type"] == "OSMHeader":
+            _check_header(path, b)
+    blobs = [b for b in index if b["type"] == "OSMData"]
     if not blobs:
         raise ValueError(f"no OSMData blobs in {path}")
     rdf = spark.createDataFrame(

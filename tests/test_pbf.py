@@ -112,3 +112,33 @@ def test_parse_rejects_non_pbf(spark, tmp_path):
     p.write_bytes(b"")
     with pytest.raises(ValueError, match="OSMData"):
         parse_pbf(spark, str(p))
+
+
+def test_unsupported_required_feature_rejected(spark, tmp_path):
+    """A header REQUIRING a feature this decoder can't decode
+    faithfully (e.g. HistoricalInformation's per-element visibility)
+    must fail fast, not silently misreport; optional features are
+    ignored per spec."""
+    from osm_jl_spark.sources.osm_pbf import (
+        _enc_blob,
+        _enc_bytes,
+        _enc_block,
+        parse_pbf,
+    )
+
+    header = (_enc_bytes(4, b"OsmSchema-V0.6")
+              + _enc_bytes(4, b"HistoricalInformation"))
+    data = _enc_block([{"kind": "node", "id": 1, "lon": 1.0,
+                        "lat": 2.0, "tags": {}}])
+    p = tmp_path / "hist.osm.pbf"
+    p.write_bytes(_enc_blob("OSMHeader", header)
+                  + _enc_blob("OSMData", data))
+    with pytest.raises(ValueError, match="HistoricalInformation"):
+        parse_pbf(spark, str(p))
+
+    ok = tmp_path / "opt.osm.pbf"
+    opt_header = (_enc_bytes(4, b"OsmSchema-V0.6")
+                  + _enc_bytes(5, b"Sort.Type_then_ID"))
+    ok.write_bytes(_enc_blob("OSMHeader", opt_header)
+                   + _enc_blob("OSMData", data))
+    assert parse_pbf(spark, str(ok)).count() == 1

@@ -1916,6 +1916,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return triangle_census(co)
 
+    def geojson_roundtrip_q(spark, sf_dir):
+        # GeoJSON emit -> READ round trip (sources/geojson.py:
+        # read_features, the K1 inverse): every way's Feature JSON
+        # parses back with native from_json — zero UDF, zero exchange
+        # beyond the geometry assembly — and coordinates survive
+        # to_json/from_json exactly (raw doubles; recovered here as
+        # exact micro-degree BIGINTs). The oracle never sees JSON: it
+        # regenerates way geometry order, counts, first-resolved-ref
+        # coords, and the name tag arithmetically.
+        from osm_jl_spark.sources.geojson import read_features, way_features
+
+        back = read_features(
+            way_features(_ways(spark, sf_dir), _nodes(spark, sf_dir))
+        )
+        first = F.element_at(F.col("coords"), 1)
+        return back.select(
+            "way_id",
+            "geom_type",
+            F.size("coords").cast("long").alias("n_pts"),
+            F.round(first["lon"] * 1e5).cast("long").alias("first_lon_u"),
+            F.round(first["lat"] * 1e5).cast("long").alias("first_lat_u"),
+            F.element_at(F.col("properties"), F.lit("name")).alias("name"),
+        )
+
     def temperature_sample_q(spark, sf_dir):
         # temperature-based multilingual rebalancing (operators/
         # sampling.py: temperature_sample, the XLM-R/mT5 sampler) at
@@ -2055,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": host_triangles_q,
         "link_hits": link_hits_q,
         "temperature_sample": temperature_sample_q,
+        "geojson_roundtrip": geojson_roundtrip_q,
         # -- r4 driver-green (1 round old), newest first
         "page_links": page_links_q,
         "host_in_links": host_in_links_q,
@@ -3320,6 +3345,28 @@ SELECT url, host, slot,
        CAST(1700000000 AS BIGINT) + CAST(slot AS BIGINT) * 15
          AS fetch_at
 FROM ranked"""
+
+    # GeoJSON round trip: the oracle regenerates geometry order,
+    # point counts, the first RESOLVED ref's exact micro-degree
+    # coords, and the name tag from the generator CTEs — dangling
+    # first refs drop (inner join), matching way_geometries
+    out["geojson_roundtrip"] = f"""WITH {nodes}, {ways},
+j AS (
+  SELECT wr.id, wr.pos, nc.lon_u, nc.lat_u
+  FROM ways_refs wr JOIN nodes_coord nc ON wr.ref = nc.id
+),
+agg AS (
+  SELECT id,
+         count(*) AS n_pts,
+         arg_min(lon_u, pos) AS first_lon_u,
+         arg_min(lat_u, pos) AS first_lat_u
+  FROM j GROUP BY id
+)
+SELECT a.id AS way_id, 'Polygon' AS geom_type,
+       CAST(a.n_pts AS BIGINT) AS n_pts,
+       a.first_lon_u, a.first_lat_u,
+       w.t_name AS name
+FROM agg a JOIN ways w ON w.id = a.id"""
 
     # temperature sampling: thresholds rebuilt from identical counts
     # with identical correctly-rounded IEEE ops (sqrt/divide/multiply

@@ -94,3 +94,42 @@ def write_jsonl(features: DataFrame, path: str) -> None:
     """Distributed sink: one Feature per line (the scalable form of a
     FeatureCollection)."""
     features.select("feature").write.mode("overwrite").text(path)
+
+
+FEATURE_SCHEMA = (
+    "type STRING, id BIGINT, "
+    "geometry STRUCT<type: STRING, "
+    "coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>, "
+    "properties MAP<STRING,STRING>"
+)
+
+
+def read_features(features: DataFrame, json_col: str = "feature") -> DataFrame:
+    """GeoJSON Feature READER — the inverse of :func:`way_features`,
+    so external GeoJSON (or this engine's own JSONL sink) ingests
+    back as structured rows: (way_id, geom_type, coords
+    ARRAY<STRUCT<lon,lat>>, properties MAP<STRING,STRING>).
+
+    Native ``from_json`` against a fixed Feature schema — zero UDF,
+    zero exchange: parsing fuses into the scan projection like every
+    other narrow map here (malformed JSON rows yield NULLs, Spark's
+    standard PERMISSIVE contract, so one bad feature can't kill a
+    planet-sized ingest). Properties parse as MAP (keys vary per
+    feature); only the outer Polygon ring is read (index 1), matching
+    what way_features emits — and the reference, which builds
+    single-ring polygons only (src/geojson.jl:17-28).
+    """
+    parsed = F.from_json(F.col(json_col), FEATURE_SCHEMA)
+    ring = F.element_at(parsed["geometry"]["coordinates"], 1)
+    return features.select(
+        parsed["id"].alias("way_id"),
+        parsed["geometry"]["type"].alias("geom_type"),
+        F.transform(
+            ring,
+            lambda p: F.struct(
+                F.element_at(p, 1).alias("lon"),
+                F.element_at(p, 2).alias("lat"),
+            ),
+        ).alias("coords"),
+        parsed["properties"].alias("properties"),
+    )

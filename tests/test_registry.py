@@ -42,7 +42,7 @@ def test_registry_is_large_and_ordered():
     the newest queries (round-5 head pinned: the two new queries,
     then the 43-query r3-evidence tail rotated to the front)."""
     keys = list(entry.queries())
-    assert len(keys) >= 107
+    assert len(keys) >= 108
     assert keys[0] == "lm_perplexity_filter"
     assert keys[1] == "tile_serving"
     assert keys[2] == "radius_join"
@@ -64,3 +64,4 @@ def test_registry_is_large_and_ordered():
     assert keys[54] == "host_triangles"
     assert keys[55] == "link_hits"
     assert keys[56] == "temperature_sample"
+    assert keys[57] == "geojson_roundtrip"

@@ -91,3 +91,25 @@ def test_geojson_feature(spark):
     )
     assert fc["type"] == "FeatureCollection"
     assert len(fc["features"]) == 2
+
+
+def test_geojson_read_features_exact_roundtrip(spark):
+    """read_features is the exact inverse of way_features: every
+    way's coordinates (raw doubles through to_json/from_json), order,
+    and name property survive bit-for-bit; properties of unnamed ways
+    come back as an empty map (to_json drops NULLs)."""
+    from osm_jl_spark import datagen as G
+    from osm_jl_spark.operators.joins import way_geometries
+    from osm_jl_spark.sources.geojson import read_features, way_features
+
+    nodes = G.load_nodes(spark, 300)
+    ways = G.load_ways(spark, 80, 300)
+    back = read_features(way_features(ways, nodes)).collect()
+    orig = {r.way_id: [(c.lon, c.lat) for c in r.coords]
+            for r in way_geometries(ways, nodes).collect()}
+    names = {r.id: (r.tags or {}).get("name") for r in ways.collect()}
+    assert len(back) == len(orig)
+    for r in back:
+        assert r.geom_type == "Polygon"
+        assert [(c.lon, c.lat) for c in r.coords] == orig[r.way_id]
+        assert (r.properties or {}).get("name") == names[r.way_id]

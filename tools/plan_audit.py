@@ -202,6 +202,12 @@ AUDITED = [
      "projection (like quadkey_tiles); the rollup reuses "
      "quadkey_rollup's two uniform salted exchanges - the prefix "
      "machinery is index-family-agnostic"),
+    ("geojson_roundtrip", "GeoJSON emit -> read round trip: "
+     "from_json against a fixed Feature schema fuses into the scan "
+     "projection — zero UDF, zero exchange beyond the geometry "
+     "assembly; malformed features yield NULL rows (PERMISSIVE), "
+     "never a task failure, so one bad feature can't kill a planet "
+     "ingest"),
     ("temperature_sample", "XLM-R temperature rebalancing: one "
      "map-side-combinable per-lang count (dimension-sized), "
      "thresholds broadcast back, then the same zero-shuffle md5-rank "

@@ -65,3 +65,13 @@ def test_registry_is_large_and_ordered():
     assert keys[55] == "link_hits"
     assert keys[56] == "temperature_sample"
     assert keys[57] == "geojson_roundtrip"
+
+
+def test_bench_list_is_a_registry_subset():
+    """Every BENCH_QUERIES entry must be a registered query — a
+    renamed or dropped registration would otherwise KeyError halfway
+    through the driver's bench run."""
+    import bench
+
+    missing = [q for q in bench.BENCH_QUERIES if q not in entry.queries()]
+    assert not missing, missing
